@@ -1,0 +1,265 @@
+"""HTML main-content extraction: DOM tokenization + text-density /
+link-density boilerplate classification (SURVEY.md §2.9).
+
+This kernel *replaces* the reference's LLM interpretation stage
+(/root/reference/app.py:606-630) with a deterministic densitometric
+classifier in the spirit of Boilerpipe / Readability (Kohlschütter et
+al., "Boilerplate Detection using Shallow Text Features", WSDM 2010):
+the document is segmented into block-level text segments, each scored
+by word count, link density (linked words / words) and text density
+(words per 80-char wrap line), and classified content vs boilerplate
+by fixed thresholds. All thresholds are module constants —
+fixture-locked, never tuned at runtime.
+
+Two reference semantics are deliberately carried over:
+
+- **segments-then-tables order** — the reference flattens DOCX as all
+  paragraphs first, then all tables (/root/reference/app.py:500-508,
+  ocr_any.py:349-359, NOT interleaved document order). We reproduce
+  that: non-table segments in document order first, then table rows in
+  table-open order.
+- **table row rendering** — a row is kept iff any cell is non-blank
+  (/root/reference/app.py:504-508) and rendered as the " | " join of
+  *all* its (stripped) cells, empty cells included.
+
+Parsing uses only stdlib ``html.parser`` (tolerant, never raises), so
+``parse_failed`` is always 0 for HTML payloads.
+"""
+
+from __future__ import annotations
+
+import math
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+# ---- classification constants (fixture-locked) ----
+MAX_LINK_DENSITY = 1.0 / 3.0  # strictly-greater drops the block
+MIN_TEXT_DENSITY = 6.0        # words per 80-char wrap line
+WRAP_COLS = 80
+MIN_LIST_WORDS = 3            # li/dt/dd minimum
+
+# Tag classes
+BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dt", "dd",
+    "blockquote", "pre", "div", "section", "article", "main",
+    "figcaption", "caption", "summary", "ul", "ol", "dl", "figure",
+}
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+LIST_ITEM_TAGS = {"li", "dt", "dd"}
+# Containers whose entire subtree is boilerplate by construction.
+BOILERPLATE_CONTAINERS = {"nav", "footer", "header", "aside", "form"}
+# Subtrees whose text is not document text at all.
+SKIP_TAGS = {"script", "style", "noscript", "template", "head", "svg", "title"}
+VOID_TAGS = {
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+}
+
+
+class _Segment:
+    __slots__ = ("tag", "boiler", "parts")
+
+    def __init__(self, tag: str, boiler: bool):
+        self.tag = tag
+        self.boiler = boiler
+        self.parts: List[Tuple[str, bool]] = []  # (chunk, inside_link)
+
+
+class _Cell:
+    __slots__ = ("parts",)
+
+    def __init__(self) -> None:
+        self.parts: List[Tuple[str, bool]] = []
+
+
+def _collapse(parts: List[Tuple[str, bool]]) -> Tuple[str, int, int]:
+    """Whitespace-collapse the chunks → (text, words, linked_words)."""
+    words: List[str] = []
+    linked = 0
+    for chunk, is_link in parts:
+        ws = chunk.split()
+        words.extend(ws)
+        if is_link:
+            linked += len(ws)
+    return " ".join(words), len(words), linked
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.segments: List[_Segment] = []
+        self.tables: List[List[List[_Cell]]] = []  # table → rows → cells
+        self._block_stack: List[str] = []
+        self._cur: Optional[_Segment] = None
+        self._boiler_depth = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+        # table parse state: stack of (table_rows, current_row, current_cell)
+        self._tstack: List[list] = []
+
+    # -- segment plumbing --
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.parts:
+            self.segments.append(self._cur)
+        self._cur = None
+
+    def _open_segment(self, tag: str) -> None:
+        self._flush()
+        self._cur = _Segment(tag, self._boiler_depth > 0)
+
+    def _context_tag(self) -> str:
+        return self._block_stack[-1] if self._block_stack else "text"
+
+    # -- parser hooks --
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag in BOILERPLATE_CONTAINERS:
+            self._flush()
+            self._boiler_depth += 1
+            return
+        if tag == "table":
+            self._flush()
+            rows: List[List[_Cell]] = []
+            self.tables.append(rows)
+            self._tstack.append([rows, None, None])
+            return
+        if self._tstack:
+            frame = self._tstack[-1]
+            if tag == "tr":
+                frame[1] = []
+                frame[0].append(frame[1])
+                frame[2] = None
+            elif tag in ("td", "th"):
+                if frame[1] is None:
+                    frame[1] = []
+                    frame[0].append(frame[1])
+                frame[2] = _Cell()
+                frame[1].append(frame[2])
+            return
+        if tag in BLOCK_TAGS:
+            self._block_stack.append(tag)
+            self._open_segment(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            if self._link_depth:
+                self._link_depth -= 1
+            return
+        if tag in BOILERPLATE_CONTAINERS:
+            if self._boiler_depth:
+                self._flush()
+                self._boiler_depth -= 1
+            return
+        if tag == "table":
+            if self._tstack:
+                self._tstack.pop()
+            return
+        if self._tstack:
+            frame = self._tstack[-1]
+            if tag == "tr":
+                frame[1] = None
+                frame[2] = None
+            elif tag in ("td", "th"):
+                frame[2] = None
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in self._block_stack:
+                while self._block_stack and self._block_stack[-1] != tag:
+                    self._block_stack.pop()
+                if self._block_stack:
+                    self._block_stack.pop()
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        is_link = self._link_depth > 0
+        if self._tstack:
+            cell = self._tstack[-1][2]
+            if cell is not None:
+                cell.parts.append((data, is_link))
+            return
+        if self._cur is None:
+            self._cur = _Segment(self._context_tag(), self._boiler_depth > 0)
+        self._cur.parts.append((data, is_link))
+
+
+def _classify(tag: str, text: str, words: int, linked: int, boiler: bool) -> bool:
+    """True = content (keep). Fixed-threshold densitometric rule:
+
+    1. inside a boilerplate container → drop;
+    2. empty (0 words) → drop;
+    3. link density strictly above ``MAX_LINK_DENSITY`` → drop;
+    4. headings → keep;
+    5. list items (li/dt/dd) → keep iff ≥ ``MIN_LIST_WORDS`` words;
+    6. otherwise keep iff text density ≥ ``MIN_TEXT_DENSITY``, where
+       text density = words / ceil(len(text)/WRAP_COLS).
+    """
+    if boiler or words == 0:
+        return False
+    if linked / words > MAX_LINK_DENSITY:
+        return False
+    if tag in HEADING_TAGS:
+        return True
+    if tag in LIST_ITEM_TAGS:
+        return words >= MIN_LIST_WORDS
+    density = words / max(1, math.ceil(len(text) / WRAP_COLS))
+    return density >= MIN_TEXT_DENSITY
+
+
+def extract_blocks(html: str) -> Tuple[List[Tuple[str, str]], int]:
+    """HTML fragment → ``([(kind, text), ...] kept blocks, n_dropped)``.
+
+    Output order: classified non-table segments in document order, then
+    table rows (" | "-joined cells) in table-open order — the
+    segments-then-tables order described in the module docstring.
+    """
+    p = _Extractor()
+    p.feed(html or "")
+    p.close()
+    p._flush()
+
+    kept: List[Tuple[str, str]] = []
+    dropped = 0
+
+    for seg in p.segments:
+        text, words, linked = _collapse(seg.parts)
+        if _classify(seg.tag, text, words, linked, seg.boiler):
+            kept.append((seg.tag, text))
+        else:
+            dropped += 1
+
+    for rows in p.tables:
+        for row in rows:
+            cell_texts = []
+            words = 0
+            linked = 0
+            for cell in row:
+                t, w, lw = _collapse(cell.parts)
+                cell_texts.append(t)
+                words += w
+                linked += lw
+            if not any(cell_texts):
+                dropped += 1
+                continue
+            if words and linked / words > MAX_LINK_DENSITY:
+                dropped += 1
+                continue
+            kept.append(("tr", " | ".join(cell_texts)))
+
+    return kept, dropped
