@@ -3,36 +3,47 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``ocr_engine_spark.catalog``; this module is a
+thin adapter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline (payload dispatch →
+    deterministic bucket shuffle → partition-local sort → one
+    mapInArrow Arrow stage) over /root/testdata/sf0.001 documents
+    recast as transcripts. Returns per-turn extracted text + ordered
+    spans + classifier metrics."""
+    from ocr_engine_spark.plans.extract_plan import build_extracted
+    from ocr_engine_spark.sources.tableio import transcripts_from_documents
+
+    df = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    out = build_extracted(df, num_buckets=16, salt_buckets=2)
+    return out.select(
+        "conv_id", "turn_idx", "kind", "extracted_text", "spans",
+        "blocks_kept", "blocks_dropped", "parse_failed",
+    ).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_engine_spark.catalog import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_engine_spark.catalog import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,575 @@
+"""Query + oracle catalog: one entry per implemented operator
+(SURVEY.md §2 mapping + the training-data-pipeline operators).
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+an ANSI/DuckDB oracle SQL string over the driver's pre-registered
+views (``documents events lineitem orders part ...``). Column names
+and types are aligned on both sides (the driver hashes values after
+sorting columns by name). Doubles are rounded to 6 dp on both sides;
+hashes are md5-derived so the engines agree bit-for-bit.
+
+Entries with ``oracle=None`` are genuinely non-SQL-expressible (the
+Arrow extraction kernels' span structures, streaming) and get the
+driver's rows-only check; their full semantics are covered by the
+golden-fixture pytest suite instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import textfns as X
+from .functions.columns import clamp_conf_col, payload_kind_col, slugify_col
+from .operators import dedup, similarity, textstats
+from .plans.extract_plan import build_extracted
+from .sources.tableio import transcripts_from_documents
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# DuckDB mirrors of the shared expression fragments (textfns twins).
+TOKENS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(coalesce(text, '')), "
+    "'[^a-z0-9 ]+', ' ', 'g'), ' '), x -> x <> '')"
+)
+NORMALIZED_SQL = (
+    "trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r]+', ' ', 'g'))"
+)
+HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+
+_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------- flagship extraction
+
+@_register(
+    "flagship_extract",
+    oracle="""
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT                  AS turn_idx,
+       CASE WHEN text IS NULL OR text = '' THEN 'text'
+            WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
+            WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
+            ELSE 'text' END    AS kind,
+       array_to_string(
+         list_filter(
+           list_transform(string_split(coalesce(text, ''), chr(10)),
+                          x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))),
+           x -> x <> ''),
+         chr(10))              AS extracted_text
+FROM documents
+ORDER BY conv_id, turn_idx
+""",
+)
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extraction pipeline (bucket → shuffle → sort →
+    mapInArrow) over documents recast as transcripts. The driver's
+    documents are plain text, so extracted_text is SQL-expressible;
+    the span/metrics columns are covered by the golden pytest suite."""
+    df = transcripts_from_documents(spark, sf_dir)
+    out = build_extracted(df, num_buckets=32, salt_buckets=4)
+    return out.select("conv_id", "turn_idx", "kind", "extracted_text").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+@_register("extract_spans")
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span structures from the Arrow extraction stage (rows-only
+    check: nested span offsets aren't SQL-expressible; their invariants
+    are pytest-verified)."""
+    df = transcripts_from_documents(spark, sf_dir)
+    out = build_extracted(df, num_buckets=16, salt_buckets=2)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.size("spans").alias("n_spans"),
+        "blocks_kept",
+        "blocks_dropped",
+        "parse_failed",
+    ).orderBy("conv_id", "turn_idx")
+
+
+# ------------------------------------------------- scalar kernels (§2.8)
+
+@_register(
+    "x1_slugify_part",
+    oracle="""
+SELECT p_partkey,
+       substr(
+         CASE WHEN s = '' THEN 'field' ELSE s END, 1, 80) AS slug
+FROM (
+  SELECT p_partkey,
+         regexp_replace(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '_', 'g'),
+                        '^_+|_+$', '', 'g') AS s
+  FROM part)
+ORDER BY p_partkey
+""",
+)
+def q_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", slugify_col("p_name").alias("slug"))
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "x2_clamp_events",
+    oracle="""
+SELECT event_id,
+       CASE WHEN v < 0 THEN 0.0::DOUBLE WHEN v > 1 THEN 1.0::DOUBLE ELSE v END AS conf
+FROM (SELECT event_id, value / 25.0 - 0.2 AS v FROM events)
+ORDER BY event_id
+""",
+)
+def q_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        clamp_conf_col(F.col("value") / 25.0 - 0.2).alias("conf"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "p1_payload_kind",
+    oracle="""
+SELECT cast(doc_id AS varchar) AS conv_id,
+       CASE WHEN text IS NULL OR text = '' THEN 'text'
+            WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
+            WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
+            ELSE 'text' END AS kind
+FROM documents
+ORDER BY conv_id
+""",
+)
+def q_payload_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_documents(spark, sf_dir)
+    return df.select(
+        "conv_id", payload_kind_col("role", "text").alias("kind")
+    ).orderBy("conv_id")
+
+
+# ------------------------------------------- folds / merges / windows
+
+@_register(
+    "a5_keep_longer_orders",
+    oracle="""
+SELECT o_custkey, v AS best_value
+FROM (
+  SELECT o_custkey, o_orderpriority || '#' || o_orderkey AS v,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY length(o_orderpriority || '#' || o_orderkey) DESC,
+                                     o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def q_keep_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_keep_longer as a native reduce (SURVEY.md §2.5 A5,
+    /root/reference/ocr_any.py:229-235): strictly-longer wins, ties →
+    first arrival (lowest orderkey) — via max_by over
+    (length, -arrival_seq). Length variance comes from priority-string
+    and orderkey digit lengths, so ties are plentiful and the
+    first-wins tiebreak is genuinely exercised."""
+    orders = _t(spark, sf_dir, "orders")
+    v = F.concat_ws("#", F.col("o_orderpriority"), F.col("o_orderkey"))
+    return (
+        orders.select("o_custkey", v.alias("v"), "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(v, struct(length(v), -o_orderkey))").alias("best_value")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "a2_ordered_concat_lineitem",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(item, chr(10) ORDER BY l_linenumber, item) AS doc
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag || l_linestatus || ':' || floor(l_quantity)::BIGINT AS item
+  FROM lineitem)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-group concat (SURVEY.md §2.5 A2): collect structs,
+    array_sort (deterministic — no collect_list order reliance), then
+    join. Partial aggregation applies; no window needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.concat(
+        F.col("l_returnflag"), F.col("l_linestatus"), F.lit(":"),
+        F.floor("l_quantity").cast("string"),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", item.alias("item"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", "item"))),
+                    lambda x: x["item"],
+                ),
+                "\n",
+            ).alias("doc")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@_register(
+    "o2_row_number_events",
+    oracle="""
+SELECT event_id, user_id,
+       cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events
+ORDER BY event_id
+""",
+)
+def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("rn")
+    ).orderBy("event_id")
+
+
+@_register(
+    "f6_json_probe_events",
+    oracle="""
+SELECT event_id,
+       try_cast(json_extract_string(nullif(regexp_extract(props, '(?s)\\{.*\\}', 0), ''), '$.k')
+                AS BIGINT) AS k
+FROM events
+ORDER BY event_id
+""",
+)
+def q_json_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_json_object semantics natively (SURVEY.md §2.3 F6): first
+    DOTALL {.*} match, then JSON field get; parse failure → null."""
+    ev = _t(spark, sf_dir, "events")
+    probed = F.regexp_extract(F.col("props"), r"(?s)\{.*\}", 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object(probed, "$.k").cast("long").alias("k"),
+    ).orderBy("event_id")
+
+
+@_register(
+    "p2_word_filter_documents",
+    oracle=f"""
+SELECT doc_id,
+       len(t)::BIGINT AS n_words,
+       t[1]  AS first_word,
+       t[-1] AS last_word
+FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+ORDER BY doc_id
+""",
+)
+def q_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------- text analysis
+
+@_register(
+    "tokens_documents",
+    oracle=f"""
+SELECT doc_id,
+       len({TOKENS_SQL})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))::BIGINT AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        textstats.token_counts(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "langid_documents",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN dev / total >= 0.05 THEN 'hi'
+            WHEN cjk / total >= 0.05 THEN 'zh'
+            ELSE 'en' END AS lang_pred,
+       dev::INT AS dev_chars,
+       cjk::INT AS cjk_chars
+FROM (
+  SELECT doc_id,
+         greatest(length(coalesce(text, '')), 1) AS total,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[ऀ-ॿ]', '', 'g')) AS dev,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[一-鿿]', '', 'g')) AS cjk
+  FROM documents)
+ORDER BY doc_id
+""",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register(
+    "quality_documents",
+    oracle=f"""
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       round(0.4 * least(len(t) / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - (punct::DOUBLE / total) * 4.0)
+           + 0.3 * least(len(list_filter(t,
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it')
+               ))::DOUBLE / greatest(len(t), 1) * 5.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id, {TOKENS_SQL} AS t,
+         greatest(length(coalesce(text, '')), 1) AS total,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''),
+             '[^a-zA-Z0-9 \t\n\r]', '', 'g')) AS punct
+  FROM documents)
+ORDER BY doc_id
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        textstats.quality(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "fingerprint_documents",
+    oracle=f"""
+SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ------------------------------------------------- deduplication
+
+@_register(
+    "dedup_exact_documents",
+    oracle=f"""
+SELECT md5({NORMALIZED_SQL.replace('text', 'text')}) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       count(*)    AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents")).orderBy(
+        "fingerprint"
+    )
+
+
+def _minhash_oracle(num_perm: int = 16) -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS m{i}"
+        for i in range(num_perm)
+    )
+    return f"""
+SELECT doc_id,
+       {mins}
+FROM (
+  SELECT doc_id, unnest({SHINGLES_SQL.format(t='t')}) AS shingle
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@_register("minhash_signatures_documents", oracle=_minhash_oracle(16))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_perm=16
+    ).orderBy("doc_id")
+
+
+@_register(
+    "ngram_jaccard_pairs_documents",
+    oracle=f"""
+WITH sets_ AS (
+  SELECT doc_id, {SHINGLES_SQL.format(t='t')} AS sh
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents WHERE doc_id < 150)
+),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets_),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand
+JOIN sets_ sa ON sa.doc_id = id_a
+JOIN sets_ sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.01
+ORDER BY id_a, id_b
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.01, max_id=150
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fold = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+),
+votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, ({fold})::BIGINT AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+@_register("simhash_documents", oracle=_simhash_oracle(60))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register("simhash_near_pairs_documents")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-banded near-pairs (rows-only: the oracle would be
+    the simhash oracle squared; the per-doc simhash values are already
+    value-checked by simhash_documents)."""
+    sims = textstats.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sims, max_hamming=26).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------- similarity search
+
+@_register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qe)
+             / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                      list_transform(e.embedding, x -> x::DOUBLE)))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.cosine_topk(emb, qvec, k=10)
+
+
+def _lsh_bucket_oracle(num_planes: int = 8, dims: int = 64) -> str:
+    planes = similarity.plane_weight_lists(num_planes, dims)
+    terms = []
+    for j, w in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(list_transform(embedding, x -> x::DOUBLE), {lit}) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END"
+        )
+    fold = "\n         + ".join(terms)
+    return f"""
+SELECT vec_id, ({fold})::BIGINT AS bucket
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@_register("ann_lsh_buckets", oracle=_lsh_bucket_oracle(8, 64))
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.plane_weight_lists(8, 64)
+    return similarity.lsh_buckets_literal(emb, planes).orderBy("vec_id")
+
+
+@_register("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: cosine top-k restricted to the query's LSH
+    bucket (rows-only: composition of two already-oracled steps)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.plane_weight_lists(8, 64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    buckets = similarity.lsh_buckets_literal(emb, planes)
+    qb = buckets.filter(F.col("vec_id") == 0).first()["bucket"]
+    in_bucket = emb.join(buckets.filter(F.col("bucket") == qb).select("vec_id"), "vec_id")
+    return similarity.cosine_topk(in_bucket, qvec, k=10)
+
+
+# ---------------------------------------------------------------- API
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_ORACLES)

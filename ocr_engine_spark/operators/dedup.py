@@ -1,0 +1,173 @@
+"""Deduplication operators (brief: exact, MinHash+LSH, SimHash,
+n-gram Jaccard). Native Catalyst throughout; engine-portable md5-based
+hashes so every stage has an exact DuckDB oracle.
+
+Scale notes per operator are in each docstring — the common theme: the
+only all-pairs computation ever performed is *within LSH buckets*
+(candidates), never across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textfns as X
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-aggregate, keeper
+    = min(id). Scale: single shuffle on the fingerprint; partial aggs
+    collapse duplicates map-side."""
+    return (
+        docs.select(F.col(id_col), X.fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k_shingle: int = 3,
+                       num_perm: int = 16) -> DataFrame:
+    """MinHash signatures: shingle → num_perm salted 60-bit hashes →
+    min per salt. One explode + one partial-aggregating groupBy; the
+    shuffle carries (doc, num_perm longs), independent of doc length."""
+    sh = docs.select(
+        F.col(id_col), F.explode(X.shingles_col(text_col, k_shingle)).alias("shingle")
+    )
+    aggs = [
+        F.min(X.hash60_col(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band
+    bucket. Scale: the self-join is on (band_idx, band_key) — only
+    docs agreeing on a full band collide, so the join fan-out is the
+    bucket sizes, not n²."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k_shingle: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs. The shingle
+    arrays are joined in by id — two hash joins against the (much
+    smaller) candidate set; at scale the candidate side is the small
+    one and broadcasts."""
+    sets_ = docs.select(
+        F.col(id_col), X.shingles_col(text_col, k_shingle).alias("sh")
+    )
+    out = (
+        pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k_shingle: int = 3,
+                        threshold: float = 0.1,
+                        max_id: int | None = None) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — the verification-tier operator
+    (O(n²); bound n with ``max_id`` or use MinHash+LSH as the scale
+    path). Join strategy: shingle-inverted-index join (pairs sharing ≥1
+    shingle) instead of a cross join, so disjoint docs never pair."""
+    base = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
+    sets_ = base.select(F.col(id_col), X.shingles_col(text_col, k_shingle).alias("sh"))
+    inv = sets_.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, base, id_col, text_col, k_shingle, threshold)
+
+
+def simhash_near_pairs(simhashes: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 8, bits: int = 60,
+                       chunks: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit hash into ``chunks``
+    15-bit chunks (pigeonhole: hamming ≤ max_hamming with 4 chunks →
+    some chunk is ≤ 2 bits off; we use exact-chunk match as the
+    candidate filter, then exact hamming ≤ threshold verify via
+    bit_count(xor))."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    banded = simhashes.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
