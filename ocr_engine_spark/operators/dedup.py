@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import textfns as X
+from .util import spread_to_parallelism
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -21,7 +22,8 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     = min(id). Scale: single shuffle on the fingerprint; partial aggs
     collapse duplicates map-side."""
     return (
-        docs.select(F.col(id_col), X.fingerprint_col(text_col).alias("fingerprint"))
+        spread_to_parallelism(docs)
+        .select(F.col(id_col), X.fingerprint_col(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -35,9 +37,17 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        num_perm: int = 16) -> DataFrame:
     """MinHash signatures: shingle → num_perm salted 60-bit hashes →
     min per salt. One explode + one partial-aggregating groupBy; the
-    shuffle carries (doc, num_perm longs), independent of doc length."""
-    sh = docs.select(
-        F.col(id_col), F.explode(X.shingles_col(text_col, k_shingle)).alias("shingle")
+    shuffle carries (doc, num_perm longs), independent of doc length.
+
+    Tokens are materialized in their own projection before shingling so
+    the tokenizer regex runs once per row, and the scan is spread to
+    cluster parallelism first — shingle+hash work is CPU-bound and must
+    not be serialized onto a handful of input splits."""
+    sh = spread_to_parallelism(docs).select(
+        F.col(id_col), X.tokens_col(text_col).alias("toks")
+    ).select(
+        F.col(id_col),
+        F.explode(X.shingles_from_tokens(F.col("toks"), k_shingle)).alias("shingle"),
     )
     aggs = [
         F.min(X.hash60_col(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
@@ -87,8 +97,11 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     arrays are joined in by id — two hash joins against the (much
     smaller) candidate set; at scale the candidate side is the small
     one and broadcasts."""
-    sets_ = docs.select(
-        F.col(id_col), X.shingles_col(text_col, k_shingle).alias("sh")
+    sets_ = spread_to_parallelism(docs).select(
+        F.col(id_col), X.tokens_col(text_col).alias("toks")
+    ).select(
+        F.col(id_col),
+        X.shingles_from_tokens(F.col("toks"), k_shingle).alias("sh"),
     )
     out = (
         pairs.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -118,7 +131,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     path). Join strategy: shingle-inverted-index join (pairs sharing ≥1
     shingle) instead of a cross join, so disjoint docs never pair."""
     base = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
-    sets_ = base.select(F.col(id_col), X.shingles_col(text_col, k_shingle).alias("sh"))
+    sets_ = spread_to_parallelism(base).select(
+        F.col(id_col), X.tokens_col(text_col).alias("toks")
+    ).select(
+        F.col(id_col),
+        X.shingles_from_tokens(F.col("toks"), k_shingle).alias("sh"),
+    )
     inv = sets_.select(F.col(id_col), F.explode("sh").alias("shingle"))
     cand = (
         inv.alias("a")

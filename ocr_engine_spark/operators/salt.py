@@ -39,11 +39,31 @@ def with_bucket(df: DataFrame, num_buckets: int, salt_buckets: int = 1) -> DataF
     return df.withColumn("bucket", F.pmod(key, F.lit(num_buckets)).cast("int"))
 
 
+def shuffle_by_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Shuffle on the bucket column — THE one shuffle of the pipeline.
+
+    Deliberately does NOT sort here: the extraction stage is per-turn
+    pure, so the Python stage can start consuming shuffle blocks as
+    they stream in. A pre-extraction sortWithinPartitions would be a
+    full-partition barrier in front of the Python workers (the sorter
+    must drain the partition before the first Arrow batch is emitted);
+    sorting *after* extraction gives the same deterministic
+    (conv_id, turn_idx) order per partition while overlapping the sort
+    with Python compute."""
+    return df.repartition(num_buckets, F.col("bucket"))
+
+
+def sort_within_buckets(df: DataFrame) -> DataFrame:
+    """Partition-local, spillable (conv_id, turn_idx) sort — the
+    deterministic turn order guarantee (SURVEY.md §2.6 O3), applied to
+    the extraction *output* (see shuffle_by_bucket on why after)."""
+    return df.sortWithinPartitions("conv_id", "turn_idx")
+
+
 def partition_by_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
-    """Shuffle on the bucket column (THE one shuffle of the pipeline)
-    and sort each partition by (conv_id, turn_idx) — a partition-local,
-    spillable sort that gives deterministic intra-partition turn order
-    without any global sort (SURVEY.md §3.4)."""
-    return df.repartition(num_buckets, F.col("bucket")).sortWithinPartitions(
+    """Shuffle + sort in one step (pre-extraction ordering). Kept for
+    callers that need sorted *input*; the extraction plan uses
+    shuffle_by_bucket → extract → sort_within_buckets instead."""
+    return shuffle_by_bucket(df, num_buckets).sortWithinPartitions(
         "conv_id", "turn_idx"
     )

@@ -9,10 +9,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import textfns as X
+from .util import spread_to_parallelism
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
+    return spread_to_parallelism(docs).select(
         F.col(id_col),
         X.ws_token_count_col(text_col).alias("ws_tokens"),
         X.bpe_ish_token_count_col(text_col).alias("bpe_tokens"),
@@ -20,7 +21,7 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
+    return spread_to_parallelism(docs).select(
         F.col(id_col),
         X.langid_col(text_col).alias("lang_pred"),
         X.devanagari_char_count_col(text_col).cast("int").alias("dev_chars"),
@@ -29,7 +30,7 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 
 def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
+    return spread_to_parallelism(docs).select(
         F.col(id_col),
         X.ws_token_count_col(text_col).alias("n_tokens"),
         X.quality_score_col(text_col).alias("quality"),
@@ -37,7 +38,9 @@ def quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col), X.fingerprint_col(text_col).alias("fingerprint"))
+    return spread_to_parallelism(docs).select(
+        F.col(id_col), X.fingerprint_col(text_col).alias("fingerprint")
+    )
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -48,7 +51,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Scale: the shuffle moves pre-aggregated (doc, 60 ints) rows, not
     tokens — map-side combine does the heavy lifting."""
-    toks = docs.select(
+    toks = spread_to_parallelism(docs).select(
         F.col(id_col), F.explode(X.tokens_col(text_col)).alias("token")
     ).withColumn("h", X.hash60_col("token"))
     votes, finish = X.simhash_cols(F.col("h"), bits)

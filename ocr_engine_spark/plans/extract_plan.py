@@ -4,8 +4,13 @@
       └─ column prune: (conv_id, turn_idx, role, text)       [scan-level pruning]
       └─ bucket = pmod(hash(conv_id) + salt(turn_idx), P)    [deterministic work unit]
       └─ resume filter: bucket ∉ completed(run_id)           [checkpoint/resume]
-      └─ repartition(P, bucket) + sortWithinPartitions       [THE shuffle + local sort]
-      └─ mapInArrow(extract_batches)                         [the one Python crossing]
+      └─ repartition(P, bucket)                              [THE shuffle]
+      └─ mapInArrow(extract_batches)                         [the one Python crossing —
+                                                              streams off the shuffle
+                                                              fetch, no sort barrier]
+      └─ sortWithinPartitions(conv_id, turn_idx)             [deterministic order on
+                                                              the OUTPUT, overlapped
+                                                              with Python compute]
       └─ write results partitionBy(bucket), dynamic overwrite [idempotent per-bucket sink]
       └─ audit append from written data                      [write-then-audit lineage]
 """
@@ -21,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import audit as audit_ops
 from ..operators.extract import extract_arrow
-from ..operators.salt import partition_by_bucket, with_bucket
+from ..operators.salt import shuffle_by_bucket, sort_within_buckets, with_bucket
 from ..sources import tableio
 
 
@@ -49,8 +54,12 @@ def build_extracted(df: DataFrame, num_buckets: int, salt_buckets: int,
     pruned = df.select("conv_id", "turn_idx", "role", "text")
     bucketed = with_bucket(pruned, num_buckets, salt_buckets)
     remaining = audit_ops.resume_filter(bucketed, done_buckets)
-    placed = partition_by_bucket(remaining, num_buckets)
-    return extract_arrow(placed)
+    placed = shuffle_by_bucket(remaining, num_buckets)
+    # Extraction is per-turn pure → run it on the raw shuffle stream and
+    # impose deterministic (conv_id, turn_idx) order on the OUTPUT: the
+    # Python workers start on the first fetched block instead of waiting
+    # behind a full-partition sort barrier.
+    return sort_within_buckets(extract_arrow(placed))
 
 
 def run_extract(spark: SparkSession, cfg: ExtractConfig) -> dict:

@@ -16,7 +16,12 @@ def build_session(app_name: str = "ocr-engine-spark", master: str | None = None,
     - AQE on: runtime partition coalescing after the bucket shuffle;
     - Arrow batch size bounds Python-stage memory per task;
     - parquet vectorized reader + pushdown are Spark defaults, kept
-      explicit here as documentation of reliance.
+      explicit here as documentation of reliance;
+    - periodic ContextCleaner GC every 2 min (default 30 min): a
+      long-lived driver otherwise accumulates unreferenced shuffle /
+      RDD state that is only reclaimed on a full GC — measured here as
+      identical jobs degrading 2.5s → 43s across reruns until a
+      System.gc() restored them.
     """
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     b = (
@@ -28,8 +33,9 @@ def build_session(app_name: str = "ocr-engine-spark", master: str | None = None,
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -241,19 +241,26 @@ def gen_conversation(seed: int, conv_id: str, n_turns: int) -> List[Dict]:
     return rows
 
 
+def turns_for(ci: int, seed: int = 42, zipf_s: float = 1.2, cap: int = 5000,
+              mega: int = 1, mega_turns: int = 0) -> int:
+    """Turn count for conversation index ``ci`` — pure function of
+    (ci, seed), so any worker can compute it independently (this is
+    what lets bench.py generate the corpus distributed)."""
+    if ci < mega and mega_turns:
+        return mega_turns
+    rng = _conv_rng(seed, f"size:{ci}")
+    return min(cap, max(1, int(rng.paretovariate(zipf_s))))
+
+
 def turn_counts(n_convs: int, seed: int = 42, zipf_s: float = 1.2,
                 cap: int = 5000, mega: int = 1, mega_turns: int = 0) -> List[int]:
     """Bounded-Pareto turn counts; the first ``mega`` conversations are
     forced to ``mega_turns`` (skew realism, SURVEY.md §7.3.4)."""
-    counts = []
-    for ci in range(n_convs):
-        rng = _conv_rng(seed, f"size:{ci}")
-        n = min(cap, max(1, int(rng.paretovariate(zipf_s))))
-        counts.append(n)
-    for i in range(min(mega, n_convs)):
-        if mega_turns:
-            counts[i] = mega_turns
-    return counts
+    return [
+        turns_for(ci, seed=seed, zipf_s=zipf_s, cap=cap, mega=mega,
+                  mega_turns=mega_turns)
+        for ci in range(n_convs)
+    ]
 
 
 def gen_transcripts(n_convs: int, seed: int = 42, mega: int = 1,

@@ -84,6 +84,38 @@ def write_transcripts_parquet(spark: SparkSession, rows: Iterable[Dict], path: s
     return path
 
 
+def generate_transcripts_distributed(spark: SparkSession, n_convs: int,
+                                     seed: int = 42, mega: int = 0,
+                                     mega_turns: int = 0, cap: int = 5000,
+                                     partitions: int = 64) -> DataFrame:
+    """Generate the synthetic transcript corpus *on the executors*:
+    conversation generation is order-independent per conv_id (synth.py
+    docstring), so ``spark.range(n_convs)`` → ``mapInPandas`` scales the
+    generator with the cluster instead of the driver. Used by bench.py
+    to build multi-million-turn inputs in seconds."""
+    import pandas as pd  # local import: executors need it, driver may not
+
+    from . import synth
+
+    def gen(pdfs):
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        for pdf in pdfs:
+            rows = []
+            for ci in pdf["id"]:
+                n = synth.turns_for(int(ci), seed=seed, cap=cap,
+                                    mega=mega, mega_turns=mega_turns)
+                rows.extend(synth.gen_conversation(seed, f"conv-{int(ci):06d}", n))
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=cols)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return spark.range(n_convs).repartition(partitions).mapInPandas(
+        gen, TRANSCRIPTS_SCHEMA
+    )
+
+
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recast the driver's ``documents`` table as single-turn
     transcripts (FIXTURES.md §4): conv_id = doc_id, turn_idx = 0,
