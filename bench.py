@@ -169,27 +169,30 @@ def _time_extract(master: str, cores: int, rows: int) -> dict:
     }
 
 
+def _hw_work(seed_ix: int) -> float:
+    """Per-process unit of the hardware-ceiling measurement (module
+    level: multiprocessing must pickle it)."""
+    from ocr_engine_spark.kernel.dispatch import extract_turn
+    from ocr_engine_spark.sources.synth import gen_conversation
+
+    rows = []
+    for c in range(40):
+        rows.extend(gen_conversation(SEED, f"hw-{seed_ix}-{c}", 40))
+    t0 = time.time()
+    for r in rows:
+        extract_turn(r["role"], r["text"])
+    return len(rows) / (time.time() - t0)
+
+
 def _hardware_ceiling() -> dict:
     """8-vs-32-process scaling of the bare kernels via multiprocessing
     — no Spark, no JVM: this VM's upper bound for any 8→32 speedup."""
     import multiprocessing as mp
 
-    from ocr_engine_spark.kernel.dispatch import extract_turn
-    from ocr_engine_spark.sources.synth import gen_conversation
-
-    def work(seed_ix: int) -> float:
-        rows = []
-        for c in range(40):
-            rows.extend(gen_conversation(SEED, f"hw-{seed_ix}-{c}", 40))
-        t0 = time.time()
-        for r in rows:
-            extract_turn(r["role"], r["text"])
-        return len(rows) / (time.time() - t0)
-
     out = {}
     for procs in (8, 32):
         with mp.Pool(procs) as pool:
-            rates = pool.map(work, range(procs))
+            rates = pool.map(_hw_work, range(procs))
         out[procs] = round(sum(rates))
     return {
         "rows_per_sec_8p": out[8],

@@ -565,6 +565,89 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(in_bucket, qvec, k=10)
 
 
+def _embedding_pairs_oracle(num_planes: int = 8, dims: int = 64,
+                            threshold: float = 0.5) -> str:
+    planes = similarity.plane_weight_lists(num_planes, dims)
+    terms = []
+    for j, w in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in w) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(e, {lit}) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END"
+        )
+    fold = "\n         + ".join(terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+b AS (SELECT vec_id, e, ({fold})::BIGINT AS bucket FROM v)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_dot_product(a.e, bb.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))), 6) AS cosine
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE round(list_dot_product(a.e, bb.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@_register("dedup_embedding_near_pairs", oracle=_embedding_pairs_oracle(8, 64, 0.2))
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = similarity.plane_weight_lists(8, 64)
+    return dedup.embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), planes, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------- multimodal columns
+
+@_register("multimodal_image_features")
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image payloads → mapInPandas decode + features (rows-only:
+    binary container synthesis isn't SQL-expressible; decode/feature
+    semantics are pytest-verified against local decode)."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    return (
+        mm.image_features(media)
+        .select("media_id", "width", "height",
+                F.round("mean_intensity", 6).alias("mean_intensity"),
+                "decode_failed")
+        .orderBy("media_id")
+    )
+
+
+@_register("multimodal_frame_sample")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video payloads → every-2nd-frame fan-out inside the Arrow stage
+    (rows-only; content equality is pytest-verified)."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    return (
+        mm.sample_frames(media, every_n=2)
+        .select("media_id", "frame_idx", "width", "height",
+                F.length("frame").alias("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register("multimodal_audio_features")
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payloads → rate/duration/RMS via mapInPandas (rows-only)."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    return (
+        mm.audio_features(media)
+        .select("media_id", "sample_rate", "n_samples", "duration_ms",
+                F.round("rms", 6).alias("rms"))
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------- API
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -151,6 +151,36 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify(cand, base, id_col, text_col, k_shingle, threshold)
 
 
+def embedding_near_pairs(emb: DataFrame, planes, threshold: float = 0.5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    bucket as the candidate filter (vectors agreeing on every plane
+    sign), exact cosine ≥ threshold as the verify. Scale: the self-join
+    is on the bucket key — 2^planes buckets bound the fan-out; the
+    all-pairs work happens only inside buckets, never across the
+    corpus. Scores rounded to 6 dp for engine-exact oracle parity."""
+    from .similarity import _dot, _norm, lsh_buckets_literal
+
+    withb = emb.join(lsh_buckets_literal(emb, planes, id_col, vec_col), id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_near_pairs(simhashes: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 8, bits: int = 60,
                        chunks: int = 4) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Structured Streaming extraction (SURVEY.md §1.2 processing model,
+streaming tier).
+
+The batch pipeline (plans/extract_plan.py) is per-turn pure, so the
+same logical plan lifts to a stream unchanged *except* for ordering:
+``sortWithinPartitions`` is not available on an unbounded stream, and
+is not needed — each micro-batch's output is keyed by
+``(conv_id, turn_idx)``; consumers that need ordered turns impose it at
+read time exactly like the batch fixture-diff does (SURVEY.md §2.6 O3:
+global order is only ever imposed at consumer/verify time).
+
+Two streams are exposed:
+
+- **extraction stream**: file-source (or any source honoring the
+  transcripts schema) → bucket column → ``mapInArrow`` kernels →
+  parquet sink partitioned by bucket, exactly-once via the streaming
+  checkpoint (the streaming twin of the audit/resume machinery: the
+  checkpoint's file-source log plays the role of the completed-bucket
+  set).
+- **metrics stream**: event-time windowed aggregation of the
+  extraction metrics with a watermark for late turns — the streaming
+  twin of the batch audit table.
+
+Kernel determinism makes batch/stream parity testable: the same input
+rows produce byte-identical ``extracted_text``/``spans`` through either
+path (tests/test_streaming.py asserts this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extract import extract_arrow
+from ..operators.salt import with_bucket
+from ..sources.tableio import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_stream(spark: SparkSession, path: str,
+                            max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a transcripts directory. Schema is
+    declared (never inferred) — the streaming source requires it, and
+    fixture byte-equality depends on stable types."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def build_extract_stream(stream: DataFrame, num_buckets: int = 32,
+                         salt_buckets: int = 4) -> DataFrame:
+    """The extraction plan on a streaming DataFrame: column prune →
+    deterministic bucket → the one Arrow crossing. No shuffle is forced
+    here: within a micro-batch the kernels are embarrassingly parallel,
+    so extraction runs directly on source partitions and the *sink*
+    partitionBy(bucket) provides the bucket layout. (A repartition
+    would add a per-micro-batch shuffle for no correctness gain —
+    the bucket column, not task placement, is the work-unit identity.)
+    """
+    pruned = stream.select("conv_id", "turn_idx", "role", "text", "ts")
+    bucketed = with_bucket(pruned, num_buckets, salt_buckets)
+    extracted = extract_arrow(bucketed)
+    return extracted
+
+
+def start_extract_stream(stream_out: DataFrame, output_path: str,
+                         checkpoint_path: str,
+                         available_now: bool = True) -> StreamingQuery:
+    """Write the extraction stream to a bucket-partitioned parquet sink
+    with exactly-once semantics via the checkpoint. ``available_now``
+    processes the current backlog then stops — the batch-equivalent
+    trigger used by tests and backfills; pass False for a continuous
+    micro-batch stream."""
+    writer = (
+        stream_out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("bucket")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def build_metrics_stream(stream: DataFrame, num_buckets: int = 32,
+                         salt_buckets: int = 4,
+                         window_duration: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming audit metrics: per (event-time window, bucket) counts
+    of turns / blocks kept / blocks dropped / parse failures, tolerant
+    of ``watermark`` of event-time lateness. State is bounded by the
+    watermark — late-beyond-watermark turns are dropped from metrics
+    (they still flow through the extraction stream, which is
+    stateless).
+
+    Metrics are computed from the *input* side with the native
+    payload-kind expression (functions.columns.payload_kind_col) rather
+    than from extraction output: the Arrow stage prunes ``ts``, and the
+    classifier counts needed here are derivable without the kernels —
+    keeping this aggregation 100% JVM-side."""
+    pruned = stream.select("conv_id", "turn_idx", "role", "text", "ts")
+    bucketed = with_bucket(pruned, num_buckets, salt_buckets)
+    return _metrics_from_input(bucketed, window_duration, watermark)
+
+
+def _metrics_from_input(bucketed: DataFrame, window_duration: str,
+                        watermark: str) -> DataFrame:
+    from ..functions.columns import payload_kind_col
+
+    tagged = bucketed.withColumn("kind", payload_kind_col("role", "text"))
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("turns_in"),
+            F.sum((F.col("kind") == "html").cast("long")).alias("html_turns"),
+            F.sum((F.col("kind") == "pdf").cast("long")).alias("pdf_turns"),
+            F.sum((F.col("kind") == "tool").cast("long")).alias("tool_turns"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bucket",
+            "turns_in",
+            "html_turns",
+            "pdf_turns",
+            "tool_turns",
+        )
+    )

@@ -214,3 +214,46 @@ def test_extract_turn_tool_fallback():
 def test_extract_turn_empty():
     res = D.extract_turn("user", None)
     assert res["extracted_text"] == "" and res["spans"] == []
+
+
+# ---- regex tokenizer vs stdlib html.parser (differential) ----
+
+def test_fast_tokenizer_matches_stdlib_on_corpus():
+    """The regex tokenizer must emit identical blocks to the stdlib
+    html.parser reference over the synthetic corpus and well-formed
+    adversarial cases. (Two known, deliberate divergences on broken
+    markup: stray '<' before a digit stays attached to its run, and an
+    unterminated comment is consumed rather than leaking as a dropped
+    text block — both asserted separately below.)"""
+    from ocr_engine_spark.kernel.htmlblocks import (
+        extract_blocks,
+        extract_blocks_ref,
+    )
+    from ocr_engine_spark.sources.synth import _conv_rng, _gen_html
+
+    cases = [_gen_html(_conv_rng(123, f"diff{i}")) for i in range(400)]
+    cases += [
+        "", "<div", "<p>x &amp; y &lt;z&gt;</p>",
+        "<p>unclosed <b>bold", "<!-- comment <p>hidden</p> -->",
+        "<!DOCTYPE html><p>one two three four five six seven eight</p>",
+        "<p/><div/>self closing</div>",
+        "<script>var x = '<p>no</p>';</script>"
+        "<p>real content here with many words to pass density</p>",
+        "<table><tr><td>a</td><td></td></tr><tr><td>  </td></tr></table>",
+        "<ul><li>one two three four</li><li>x</li></ul>",
+        '<a href="/x">linked words here</a> plain',
+        "<p>entity &#65;&#x42; test</p>",
+        "<?xml version?><p>after the pi more words here for density</p>",
+        '<p title="a>b">quoted gt in attr plus enough words here</p>',
+    ]
+    for c in cases:
+        assert extract_blocks(c) == extract_blocks_ref(c), c[:80]
+
+
+def test_fast_tokenizer_divergences_are_the_documented_ones():
+    from ocr_engine_spark.kernel.htmlblocks import extract_blocks
+
+    # stray '<' before a digit: kept attached to the text run
+    assert extract_blocks("a < b and <3 > 2") == ([("text", "a < b and <3 > 2")], 0)
+    # unterminated comment: consumed, not a dropped block
+    assert extract_blocks("<!-- unterminated") == ([], 0)

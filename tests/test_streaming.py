@@ -1,0 +1,101 @@
+"""Structured Streaming extraction: batch/stream parity + windowed
+metrics (SURVEY.md §1.2 streaming tier).
+
+The kernels are pure per turn, so the stream (file source →
+mapInArrow → checkpointed parquet sink) must emit byte-identical
+``extracted_text`` to the batch plan over the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_engine_spark.sources.synth import gen_transcripts
+from ocr_engine_spark.sources.tableio import write_transcripts_parquet
+from ocr_engine_spark.streaming.extract_stream import (
+    build_extract_stream,
+    build_metrics_stream,
+    read_transcripts_stream,
+    start_extract_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src = os.path.join(base, "src")
+    write_transcripts_parquet(
+        spark, gen_transcripts(40, seed=11, mega=1, mega_turns=120), src,
+        partitions=3,
+    )
+    return {
+        "src": src,
+        "out": os.path.join(base, "out"),
+        "ckpt": os.path.join(base, "ckpt"),
+    }
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    stream = read_transcripts_stream(spark, stream_dirs["src"])
+    assert stream.isStreaming
+    q = start_extract_stream(
+        build_extract_stream(stream, num_buckets=8, salt_buckets=2),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    from ocr_engine_spark.plans.extract_plan import build_extracted
+
+    batch_in = spark.read.parquet(stream_dirs["src"])
+    batch = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.blocks_kept)
+        for r in build_extracted(batch_in, num_buckets=8, salt_buckets=2).collect()
+    }
+    streamed = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.blocks_kept)
+        for r in spark.read.parquet(stream_dirs["out"]).collect()
+    }
+    assert set(streamed) == set(batch)
+    mismatches = [k for k in batch if batch[k] != streamed[k]]
+    assert mismatches == []
+
+
+def test_stream_restart_is_exactly_once(spark, stream_dirs):
+    """Re-starting the finished stream with the same checkpoint must
+    not duplicate output rows (file-source log = resume state)."""
+    n_before = spark.read.parquet(stream_dirs["out"]).count()
+    stream = read_transcripts_stream(spark, stream_dirs["src"])
+    q = start_extract_stream(
+        build_extract_stream(stream, num_buckets=8, salt_buckets=2),
+        stream_dirs["out"],
+        stream_dirs["ckpt"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(stream_dirs["out"]).count() == n_before
+
+
+def test_windowed_metrics_stream(spark, stream_dirs, tmp_path):
+    stream = read_transcripts_stream(spark, stream_dirs["src"])
+    metrics = build_metrics_stream(
+        stream, num_buckets=8, salt_buckets=2,
+        window_duration="10 minutes", watermark="30 minutes",
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("metrics_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT sum(turns_in) AS n, sum(html_turns) AS h FROM metrics_tbl"
+    ).collect()[0]
+    total = spark.read.parquet(stream_dirs["src"]).count()
+    assert rows.n == total
+    assert 0 < rows.h < total
