@@ -565,6 +565,149 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(in_bucket, qvec, k=10)
 
 
+@_register(
+    "a6_prompt_assembly_documents",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN len(blocks) = 0 THEN 'Page 1:' || chr(10)
+            ELSE array_to_string(blocks, chr(10) || chr(10) || '---' || chr(10) || chr(10))
+       END AS prompt
+FROM (
+  SELECT doc_id,
+         list_filter(
+           list_transform(generate_series(1, len(ls)),
+                          i -> CASE WHEN trim(ls[i]) <> ''
+                               THEN 'Page ' || i || ':' || chr(10) || trim(ls[i]) END),
+           x -> x IS NOT NULL) AS blocks
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents))
+ORDER BY doc_id
+""",
+)
+def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpretation-prompt assembly (SURVEY.md §2.5 A6, reference
+    app.py:543-566): non-blank lines become "Page N:\\n<line>" blocks
+    joined by "\\n\\n---\\n\\n", with the reference's "Page 1:\\n"
+    fallback for blank docs. Pure projection — zip_with over the line
+    array, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    idx = F.sequence(F.lit(1), F.size(lines))
+    blocks = F.filter(
+        F.zip_with(
+            lines, idx,
+            lambda l, i: F.when(
+                F.trim(l) != "",
+                F.concat(F.lit("Page "), i.cast("string"), F.lit(":\n"), F.trim(l)),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    prompt = F.when(F.size(blocks) == 0, F.lit("Page 1:\n")).otherwise(
+        F.array_join(blocks, "\n\n---\n\n")
+    )
+    return docs.select("doc_id", prompt.alias("prompt")).orderBy("doc_id")
+
+
+@_register(
+    "x4_fields_parse_orders",
+    oracle="""
+SELECT o_orderkey,
+       len(fs)::BIGINT AS n_fields,
+       fs[1]  AS first_field,
+       fs[-1] AS last_field
+FROM (
+  SELECT o_orderkey,
+         list_filter(string_split_regex(lower(coalesce(o_orderpriority, '')), '[-,;\\s]+'),
+                     x -> x <> '') AS fs
+  FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def q_fields_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fields_to_extract parsing (SURVEY.md §2.8 X3/X4, reference
+    app.py:689-716): split on separator runs, lowercase, drop
+    empties."""
+    orders = _t(spark, sf_dir, "orders")
+    fs = F.filter(
+        F.split(F.lower(F.coalesce(F.col("o_orderpriority"), F.lit(""))), r"[-,;\s]+"),
+        lambda x: x != "",
+    )
+    return orders.select(
+        "o_orderkey",
+        F.size(fs).cast("long").alias("n_fields"),
+        F.element_at(fs, 1).alias("first_field"),
+        F.element_at(fs, -1).alias("last_field"),
+    ).orderBy("o_orderkey")
+
+
+@_register(
+    "p8_devanagari_documents",
+    oracle="""
+SELECT doc_id, regexp_matches(coalesce(text, ''), '[ऀ-ॿ]') AS has_devanagari
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_devanagari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Devanagari tagging predicate (SURVEY.md §2.2 P8, reference
+    app.py:184, ocr_any.py:126)."""
+    from .functions.columns import has_devanagari_col
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", has_devanagari_col("text").alias("has_devanagari"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "a3_gap_fill_lineitem",
+    oracle="""
+SELECT l_orderkey, idx AS line_no,
+       coalesce(max(CASE WHEN l_linenumber = idx THEN l_returnflag || l_linestatus END), '') AS page_text
+FROM lineitem,
+     LATERAL (SELECT unnest(generate_series(1, (SELECT max(l_linenumber)
+                                                FROM lineitem li2
+                                                WHERE li2.l_orderkey = lineitem.l_orderkey))) AS idx)
+GROUP BY l_orderkey, idx
+ORDER BY l_orderkey, line_no
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense page relabel + gap fill (SURVEY.md §2.5 A3, reference
+    app.py:453-459): emit positions 1..max per group, missing → ''.
+    Shape: one partial-aggregating groupBy builds (max, pos→text map)
+    per group, then sequence+transform explodes the dense range — no
+    window, no second shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    # line numbers may repeat per order in this synthetic tier: resolve
+    # to max(value) per (order, line) first — same rule as the oracle's
+    # max(CASE ...) — so the map build sees unique keys.
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))).alias("v")
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.max("l_linenumber").alias("max_ln"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("v")))
+        ).alias("m"),
+    )
+    dense = per_order.select(
+        "l_orderkey",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("max_ln")),
+                lambda i: F.coalesce(F.try_element_at("m", i), F.lit("")),
+            )
+        ).alias("pos0", "page_text"),
+    )
+    return dense.select(
+        "l_orderkey",
+        (F.col("pos0") + 1).cast("long").alias("line_no"),
+        "page_text",
+    ).orderBy("l_orderkey", "line_no")
+
+
 def _embedding_pairs_oracle(num_planes: int = 8, dims: int = 64,
                             threshold: float = 0.5) -> str:
     planes = similarity.plane_weight_lists(num_planes, dims)
