@@ -491,6 +491,41 @@ ORDER BY doc_id
 """
 
 
+def _lsh_candidates_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    band_keys = ",\n    ".join(
+        "md5(" + " || ',' || ".join(f"m{b * rows + r}" for r in range(rows)) + f") AS k{b}"
+        for b in range(bands)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, k{b} AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH mh AS ({_minhash_oracle(num_perm)}),
+sigs AS (SELECT doc_id, {band_keys} FROM mh),
+banded AS (
+{unions}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@_register("minhash_lsh_candidates", oracle=_lsh_candidates_oracle(16, 4))
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding → LSH candidate pairs (band agreement), the
+    scale path of near-dup detection: the self-join key is
+    (band_idx, band_key), so join fan-out is bucket-sized, never n²."""
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_perm=16)
+    return dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @_register("simhash_documents", oracle=_simhash_oracle(60))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -160,9 +160,14 @@ def embedding_near_pairs(emb: DataFrame, planes, threshold: float = 0.5,
     is on the bucket key — 2^planes buckets bound the fan-out; the
     all-pairs work happens only inside buckets, never across the
     corpus. Scores rounded to 6 dp for engine-exact oracle parity."""
-    from .similarity import _dot, _norm, lsh_buckets_literal
+    from .similarity import _dot, _norm, lsh_bucket_col
 
-    withb = emb.join(lsh_buckets_literal(emb, planes, id_col, vec_col), id_col)
+    # bucket is a projected column — NOT a join back to the source: the
+    # corpus is scanned once per join side, no broadcast of itself.
+    withb = emb.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_col(planes, vec_col).alias("bucket"),
+    )
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
     )

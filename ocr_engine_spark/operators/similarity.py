@@ -68,11 +68,11 @@ def plane_weight_lists(num_planes: int = 8, dims: int = 64) -> List[List[int]]:
     ]
 
 
-def lsh_buckets_literal(emb: DataFrame, planes: List[List[int]],
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-bucket with literal hyperplanes: per plane, an ordered
-    zip_with/aggregate fold (deterministic FP summation order). Scale:
-    one projection over the scan, no joins, no shuffle at all."""
+def lsh_bucket_col(planes: List[List[int]], vec_col: str = "embedding") -> F.Column:
+    """The sign-bucket as a plain column expression: per plane, an
+    ordered zip_with/aggregate fold (deterministic FP summation order).
+    Being a Column — not a DataFrame — callers attach it with one
+    projection instead of a self-join back to the source."""
     bucket = F.lit(0).cast("long")
     for j, w in enumerate(planes):
         wcol = F.array(*[F.lit(float(x)) for x in w])
@@ -80,7 +80,14 @@ def lsh_buckets_literal(emb: DataFrame, planes: List[List[int]],
         bucket = bucket + F.when(dot > 0, F.lit(2 ** j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets_literal(emb: DataFrame, planes: List[List[int]],
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-bucket with literal hyperplanes. Scale: one projection over
+    the scan, no joins, no shuffle at all."""
+    return emb.select(F.col(id_col), lsh_bucket_col(planes, vec_col).alias("bucket"))
 
 
 def plane_weights(spark: SparkSession, num_planes: int = 8, dims: int = 64) -> DataFrame:
