@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from . import htmlblocks, pdfstream, tooljson
-from .textutil import ASCII_WS, normalize_lines
+from .textutil import ASCII_TRAIL, ASCII_WS, normalize_lines
 
 KIND_PDF = "pdf"
 KIND_TOOL = "tool"
@@ -61,8 +61,6 @@ def _text_paragraph_blocks(text: Optional[str]) -> List[Tuple[str, str]]:
     para: List[str] = []
     if not text:
         return blocks
-    from .textutil import ASCII_TRAIL
-
     for raw in text.split("\n"):
         ln = raw.rstrip(ASCII_TRAIL)
         if ln:

@@ -55,26 +55,38 @@ def assemble_lines(words: Iterable[Word], tail_mode: str = TAIL_RSTRIP) -> List[
     - tail: remaining buffer flushed with ``.rstrip()`` (dict variant)
       or ``.strip()`` (proto variant), kept iff non-empty.
     """
+    # Implementation note: ``ends_space`` tracks whether the buffer
+    # currently ends with " " — equivalent to the reference's
+    # ``buf[-1].endswith(" ")`` probes (the buffer only ever ends with
+    # a separator " " we appended, or the word's own trailing spaces),
+    # without re-scanning strings. Semantics are byte-identical; the
+    # truth-table unit tests and golden fixtures pin this.
     lines: List[str] = []
     buf: List[str] = []
+    buf_append = buf.append
+    lines_append = lines.append
+    ends_space = True  # empty buffer: no separator before first word
     for wtxt, br in words:
         if not wtxt:
             continue
-        if buf and not buf[-1].endswith(" "):
-            buf.append(" ")
-        buf.append(wtxt)
-        if br in _SPACE_BREAKS:
-            if not buf[-1].endswith(" "):
-                buf.append(" ")
-        elif br in _LINE_BREAKS:
+        if not ends_space:
+            buf_append(" ")
+        buf_append(wtxt)
+        ends_space = wtxt[-1] == " "
+        if br == BREAK_SPACE or br == BREAK_SURE_SPACE:
+            if not ends_space:
+                buf_append(" ")
+                ends_space = True
+        elif br == BREAK_EOL_SURE or br == BREAK_LINE_BREAK:
             line = "".join(buf).rstrip()
             if line:
-                lines.append(line)
-            buf = []
+                lines_append(line)
+            buf.clear()
+            ends_space = True
     tail = "".join(buf)
     tail = tail.strip() if tail_mode == TAIL_STRIP else tail.rstrip()
     if tail:
-        lines.append(tail)
+        lines_append(tail)
     return lines
 
 

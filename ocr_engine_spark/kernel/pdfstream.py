@@ -65,11 +65,10 @@ def decode_payload(text: str) -> dict:
 
 
 def _paragraph_words(para: dict) -> List[Tuple[str, Optional[int]]]:
-    out: List[Tuple[str, Optional[int]]] = []
-    for w in para.get("words") or []:
-        t = w.get("t")
-        out.append(("" if t is None else str(t), w.get("br")))
-    return out
+    return [
+        ("" if (t := w.get("t")) is None else str(t), w.get("br"))
+        for w in para.get("words") or []
+    ]
 
 
 def walk_pages(stream: dict) -> Tuple[Dict[int, List[str]], int]:
