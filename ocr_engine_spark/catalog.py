@@ -826,6 +826,45 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROID_IDS = (1, 2, 3, 4)
+
+_IVF_ASSIGN_ORACLE = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+c1 AS (SELECT e FROM v WHERE vec_id = 1),
+c2 AS (SELECT e FROM v WHERE vec_id = 2),
+c3 AS (SELECT e FROM v WHERE vec_id = 3),
+c4 AS (SELECT e FROM v WHERE vec_id = 4)
+SELECT vec_id, list_position(dots, list_max(dots))::INT AS centroid
+FROM (
+  SELECT v.vec_id,
+         [list_dot_product(v.e, c1.e), list_dot_product(v.e, c2.e),
+          list_dot_product(v.e, c3.e), list_dot_product(v.e, c4.e)] AS dots
+  FROM v, c1, c2, c3, c4)
+ORDER BY vec_id
+"""
+
+
+@_register("ann_ivf_assignments", oracle=_IVF_ASSIGN_ORACLE)
+def q_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list assignment: argmax dot against literal
+    centroids — one projection, no join, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    return similarity.ivf_assignments(emb, cents).orderBy("vec_id")
+
+
+@_register("ann_ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: probe the top-2 inverted lists for the query vector
+    (rows-only: composition of the oracled assignment step and the
+    oracled cosine ranking)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+
+
 # ---------------------------------------------------------------- API
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -140,3 +140,61 @@ def lsh_topk(emb: DataFrame, weights: DataFrame, query: Sequence[float],
         buckets.filter(F.col("bucket") == query_bucket).select(id_col), id_col
     )
     return cosine_topk(in_bucket, query, k, id_col, vec_col)
+
+
+def ivf_assign_col(centroids: List[List[float]], vec_col: str = "embedding") -> F.Column:
+    """IVF list assignment as a column: 1-based index of the centroid
+    with the max dot product (ties → lowest index). Centroids are
+    literals (broadcast-free: they compile into the plan), so
+    assignment is one projection over the scan — no join, no shuffle.
+    Deterministic double arithmetic (ordered fold) keeps the argmax
+    engine-exact vs the DuckDB oracle."""
+    dots = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def centroid_vectors(emb: DataFrame, ids: Sequence[int],
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> List[List[float]]:
+    """Deterministic data-derived 'trained' centroids: the embeddings
+    of fixed vec_ids (a seedable stand-in for k-means — the IVF
+    plumbing, not the training, is the scale-relevant part)."""
+    rows = (
+        emb.filter(F.col(id_col).isin(list(ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[0]: list(r[1]) for r in rows}
+    return [[float(x) for x in by_id[i]] for i in ids]
+
+
+def ivf_assignments(emb: DataFrame, centroids: List[List[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(
+        F.col(id_col), ivf_assign_col(centroids, vec_col).alias("centroid")
+    )
+
+
+def ivf_topk(emb: DataFrame, centroids: List[List[float]],
+             query: Sequence[float], k: int = 10, nprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: rank centroids by dot with the query (driver-side,
+    centroids are tiny), scan only the top-``nprobe`` inverted lists,
+    exact cosine within them. The scan predicate (centroid IN probes)
+    prunes the corpus before any ranking work."""
+    qdots = [
+        (j + 1, sum(float(a) * float(b) for a, b in zip(query, c)))
+        for j, c in enumerate(centroids)
+    ]
+    probes = [j for j, _ in sorted(qdots, key=lambda t: (-t[1], t[0]))[:nprobe]]
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign_col(centroids, vec_col).alias("centroid"),
+    )
+    return cosine_topk(
+        assigned.filter(F.col("centroid").isin(probes)), query, k, id_col, vec_col
+    )

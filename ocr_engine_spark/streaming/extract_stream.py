@@ -129,3 +129,52 @@ def _metrics_from_input(bucketed: DataFrame, window_duration: str,
             "tool_turns",
         )
     )
+
+
+CONV_STATS_DDL = (
+    "conv_id string, turns_seen long, chars_in long, max_turn_idx int, "
+    "batches int"
+)
+_CONV_STATE_DDL = "turns_seen long, chars_in long, max_turn_idx int, batches int"
+
+
+def build_conv_stats_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful per-conversation accumulator via
+    ``applyInPandasWithState`` — the arbitrary-state path for logic
+    windowed aggregation can't express (running totals that must
+    survive across micro-batches and emit the *updated* row each
+    trigger).
+
+    State per conv_id: (turns_seen, chars_in, max_turn_idx, batches).
+    Each trigger emits the conversation's updated totals. State is
+    per-key and partition-pruned by the groupBy hash — at 10^12-turn
+    scale the state store shards with the cluster exactly like the
+    extraction buckets do."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        turns, chars, max_ti, batches = (
+            state.get if state.exists else (0, 0, -1, 0)
+        )
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].fillna("").str.len().sum())
+            if len(pdf):
+                max_ti = max(max_ti, int(pdf["turn_idx"].max()))
+        batches += 1
+        state.update((turns, chars, max_ti, batches))
+        yield pd.DataFrame(
+            [(key[0], turns, chars, max_ti, batches)],
+            columns=["conv_id", "turns_seen", "chars_in", "max_turn_idx", "batches"],
+        )
+
+    pruned = stream.select("conv_id", "turn_idx", "text")
+    return pruned.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_STATS_DDL,
+        stateStructType=_CONV_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

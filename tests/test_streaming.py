@@ -99,3 +99,45 @@ def test_windowed_metrics_stream(spark, stream_dirs, tmp_path):
     total = spark.read.parquet(stream_dirs["src"]).count()
     assert rows.n == total
     assert 0 < rows.h < total
+
+
+def test_stateful_conv_stats_stream(spark, stream_dirs):
+    """applyInPandasWithState running totals must equal the batch
+    groupBy over the same input after draining the backlog."""
+    from ocr_engine_spark.streaming.extract_stream import (
+        build_conv_stats_stream,
+    )
+
+    stream = read_transcripts_stream(spark, stream_dirs["src"])
+    q = (
+        build_conv_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("conv_stats_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emitted row per conv (multiple micro-batches re-emit)
+    got = {
+        r.conv_id: (r.turns_seen, r.chars_in, r.max_turn_idx)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY conv_id ORDER BY batches DESC) AS rn "
+            "FROM conv_stats_tbl) WHERE rn = 1"
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    batch = {
+        r.conv_id: (r.n, r.c, r.m)
+        for r in spark.read.parquet(stream_dirs["src"])
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("c"),
+            F.max("turn_idx").alias("m"),
+        )
+        .collect()
+    }
+    assert got == batch
