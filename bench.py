@@ -14,13 +14,13 @@ Two parts:
 1. **Scaling evidence** (BASELINE.md protocol — the sandbox stand-in
    for N vs 4N executors): the identical extraction job (bucket shuffle
    → streaming mapInArrow kernels → sortWithinPartitions → noop sink)
-   over the same cached synthetic transcript corpus (~3.4M turns,
+   over the same cached synthetic transcript corpus (~6.8M turns,
    Zipf-skewed with forced mega-conversations) at ``local[8]`` then
    ``local[$SPARK_GRAFT_CPUS]``; reports turns/sec at both and
    ``eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)``. Protocol details
    (all measured necessities on this VM, see BASELINE.md):
    - one untimed warm run per level (spawns Python workers, JIT);
-   - best-of-3 timed runs with a forced ``System.gc()`` between runs
+   - best-of-BENCH_RUNS timed runs with forced full GCs between runs
      (ContextCleaner reclaims prior runs' shuffle state only on full
      GC; without it identical reruns degrade 2.5s → 43s);
    - shuffle dir on tmpfs + shuffle compression off: local mode has no
@@ -37,8 +37,8 @@ Two parts:
    noop sink after an untimed warmup query.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_CONVS (default 700000 ≈ 3.4M turns), BENCH_SCALING=0 to skip
-part 1 (quick iteration), BENCH_RUNS (default 3).
+BENCH_CONVS (default 1400000 ≈ 6.8M turns), BENCH_SCALING=0 to skip
+part 1 (quick iteration), BENCH_RUNS (default 4).
 """
 
 from __future__ import annotations
@@ -53,8 +53,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_CONVS", "700000"))
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "1400000"))
+RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 SEED = 42
 MEGA, MEGA_TURNS = 3, 50000  # forced skew: salting must earn its keep
 NUM_BUCKETS, SALT_BUCKETS = 256, 8
@@ -157,8 +157,12 @@ def _time_extract(master: str, cores: int, rows: int) -> dict:
         _noop(out)  # warmup: python workers, imports, JIT, page cache
         times = []
         for _ in range(RUNS):
+            # double full-GC: one pass queues ContextCleaner weak-ref
+            # cleanups, the second actually reclaims the shuffle state
             spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
+            time.sleep(1.5)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.5)
             t0 = time.time()
             _noop(out)
             times.append(time.time() - t0)

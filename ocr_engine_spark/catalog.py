@@ -826,6 +826,31 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "winnow_fingerprints_documents",
+    oracle=f"""
+SELECT doc_id, unnest(fps) AS fingerprint
+FROM (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - 3, 0)),
+           i -> list_min(hs[i:i+3]))) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(nt) - 7, 0)),
+                          i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT) AS hs
+    FROM (SELECT doc_id, {NORMALIZED_SQL} AS nt FROM documents)))
+ORDER BY doc_id, fingerprint
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char grams, window=4
+    minima, distinct) — textstats.winnow_fingerprints."""
+    return textstats.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, window=4
+    ).orderBy("doc_id", "fingerprint")
+
+
 _IVF_CENTROID_IDS = (1, 2, 3, 4)
 
 _IVF_ASSIGN_ORACLE = """
