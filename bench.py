@@ -14,7 +14,7 @@ Two parts:
 1. **Scaling evidence** (BASELINE.md protocol — the sandbox stand-in
    for N vs 4N executors): the identical extraction job (bucket shuffle
    → streaming mapInArrow kernels → sortWithinPartitions → noop sink)
-   over the same cached synthetic transcript corpus (~6.8M turns,
+   over the same cached synthetic transcript corpus (~3.4M turns,
    Zipf-skewed with forced mega-conversations) at ``local[8]`` then
    ``local[$SPARK_GRAFT_CPUS]``; reports turns/sec at both and
    ``eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)``. Protocol details
@@ -37,8 +37,9 @@ Two parts:
    noop sink after an untimed warmup query.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_CONVS (default 1400000 ≈ 6.8M turns), BENCH_SCALING=0 to skip
-part 1 (quick iteration), BENCH_RUNS (default 4).
+BENCH_CONVS (default 700000 ≈ 3.4M turns), BENCH_SCALING=0 to skip
+part 1 (quick iteration), BENCH_HEADLINE=0 to skip part 2,
+BENCH_LO_RUNS / BENCH_HI_RUNS (defaults 2 / 4).
 """
 
 from __future__ import annotations
@@ -53,8 +54,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_CONVS", "1400000"))
-RUNS = int(os.environ.get("BENCH_RUNS", "4"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "700000"))
+LO_RUNS = int(os.environ.get("BENCH_LO_RUNS", "2"))
+HI_RUNS = int(os.environ.get("BENCH_HI_RUNS", "4"))
 SEED = 42
 MEGA, MEGA_TURNS = 3, 50000  # forced skew: salting must earn its keep
 NUM_BUCKETS, SALT_BUCKETS = 256, 8
@@ -143,10 +145,12 @@ def _ensure_corpus() -> int:
     return n
 
 
-def _time_extract(master: str, cores: int, rows: int) -> dict:
+def _time_extract(master: str, cores: int, rows: int, runs: int) -> dict:
     """Steady-state timing of the full extraction job at one
-    parallelism level: warm once untimed, then best-of-RUNS with a
-    forced full GC between runs (see module docstring)."""
+    parallelism level: cheap 5% warm pass (spawns workers + JIT), then
+    best-of-``runs`` with forced full GCs between runs (see module
+    docstring). The high-parallelism level gets more runs — its
+    wall-clock is short so noise bursts dominate single samples."""
     from ocr_engine_spark.plans.extract_plan import build_extracted
     from ocr_engine_spark.sources import tableio
 
@@ -154,9 +158,11 @@ def _time_extract(master: str, cores: int, rows: int) -> dict:
     try:
         df = tableio.read_transcripts(spark, CACHE)
         out = build_extracted(df, num_buckets=NUM_BUCKETS, salt_buckets=SALT_BUCKETS)
-        _noop(out)  # warmup: python workers, imports, JIT, page cache
+        warm = build_extracted(df.sample(0.05, seed=7), num_buckets=NUM_BUCKETS,
+                               salt_buckets=SALT_BUCKETS)
+        _noop(warm)  # warmup: python workers, imports, JIT
         times = []
-        for _ in range(RUNS):
+        for _ in range(runs):
             # double full-GC: one pass queues ContextCleaner weak-ref
             # cleanups, the second actually reclaims the shuffle state
             spark.sparkContext._jvm.System.gc()
@@ -218,8 +224,8 @@ def main() -> int:
     if os.environ.get("BENCH_SCALING", "1") != "0":
         rows = _ensure_corpus()
         lo_cores, hi_cores = 8, CPUS
-        lo = _time_extract(f"local[{lo_cores}]", lo_cores, rows)
-        hi = _time_extract(f"local[{hi_cores}]", hi_cores, rows)
+        lo = _time_extract(f"local[{lo_cores}]", lo_cores, rows, LO_RUNS)
+        hi = _time_extract(f"local[{hi_cores}]", hi_cores, rows, HI_RUNS)
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cores / lo_cores)
         hw = _hardware_ceiling()
         result["extract"] = {
@@ -234,6 +240,12 @@ def main() -> int:
         }
 
     # ---- part 2: headline catalog queries at SF_DIR ------------------
+    if os.environ.get("BENCH_HEADLINE", "1") == "0":
+        result["queries"] = {}
+        result["metric"] = "headline_queries_total"
+        result["value"] = 0.0
+        print(json.dumps(result))
+        return 0
     qtimes: dict = {}
     spark = _session(f"local[{CPUS}]", shuffle_partitions=CPUS)
     try:
