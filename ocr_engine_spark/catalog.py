@@ -812,6 +812,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("multimodal_resize_images")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-to-binary nearest-neighbor resize through the Arrow stage
+    (rows-only; pixel-exactness is pytest-verified)."""
+    from .operators import multimodal as mm
+
+    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    return (
+        mm.resize_images(media, 8, 6)
+        .select("media_id", "width", "height",
+                F.length("payload").alias("payload_bytes"))
+        .orderBy("media_id")
+    )
+
+
 @_register("multimodal_audio_features")
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio payloads → rate/duration/RMS via mapInPandas (rows-only)."""
