@@ -64,9 +64,10 @@ OUT_DDL = (
 
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
-        buckets = batch.column("bucket").to_pylist()
-        conv_ids = batch.column("conv_id").to_pylist()
-        turn_idxs = batch.column("turn_idx").to_pylist()
+        # bucket/conv_id/turn_idx are pure pass-through: reuse the
+        # incoming Arrow buffers as-is (zero-copy) instead of
+        # round-tripping them through Python lists — only role/text are
+        # materialized, only computed columns are rebuilt.
         roles = batch.column("role").to_pylist()
         texts = batch.column("text").to_pylist()
 
@@ -83,9 +84,9 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(buckets, pa.int32()),
-                pa.array(conv_ids, pa.string()),
-                pa.array(turn_idxs, pa.int32()),
+                batch.column("bucket"),
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
                 pa.array(kinds, pa.string()),
                 pa.array(etexts, pa.string()),
                 pa.array(spans_col, pa.list_(_SPAN_STRUCT)),
