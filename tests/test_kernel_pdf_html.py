@@ -257,3 +257,26 @@ def test_fast_tokenizer_divergences_are_the_documented_ones():
     assert extract_blocks("a < b and <3 > 2") == ([("text", "a < b and <3 > 2")], 0)
     # unterminated comment: consumed, not a dropped block
     assert extract_blocks("<!-- unterminated") == ([], 0)
+
+
+def test_tokenizer_linear_on_adversarial_payloads():
+    """No catastrophic backtracking / quadratic behavior: worst-case
+    markup must process in linear-ish time (generous 5s bound covers
+    slow CI; real times are milliseconds)."""
+    import time
+
+    from ocr_engine_spark.kernel.dispatch import extract_turn
+
+    cases = [
+        "<a " + '"' * 20000,
+        "<a " + "\"'" * 10000,
+        "<" * 20000,
+        "<div>" * 3000 + "hello world content here" + "</div>" * 3000,
+        ("<p>" + "word " * 30 + "</p>") * 3000,
+        "<!--" + "x" * 300000,
+    ]
+    for payload in cases:
+        t0 = time.time()
+        r = extract_turn("assistant", payload)
+        assert time.time() - t0 < 5
+        assert "\n".join(s["text"] for s in r["spans"]) == r["extracted_text"]
