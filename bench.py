@@ -87,6 +87,9 @@ HEADLINE = [
     "a6_prompt_assembly_documents",
     "a3_gap_fill_lineitem",
     "multimodal_image_features",
+    "minhash_lsh_candidates",
+    "winnow_fingerprints_documents",
+    "ann_ivf_assignments",
 ]
 
 

@@ -71,37 +71,50 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     distinct — the classic rolling-hash fingerprint set for plagiarism
     / near-dup detection.
 
-    All native, and shaped to dodge Catalyst's CollapseProject trap:
-    consecutive projections are merged with alias *inlining*, so an
-    array column referenced per-element inside a ``transform`` lambda
-    re-evaluates its whole defining subtree per element — for windowed
-    minima over gram hashes that is O(n²) md5 calls (measured as a
-    multi-minute hang on 20 documents). Both stages therefore use the
-    shifted-``slice`` + ``zip_with`` formulation, which evaluates the
-    upstream array a constant number of times per row regardless of
-    projection collapsing. Output is one row per distinct fingerprint,
-    exploded for set-oriented downstream joins; shuffle-free until the
-    caller aggregates."""
-    norm = X.normalized_text_col(text_col)
-    base = spread_to_parallelism(docs).select(F.col(id_col), norm.alias("nt"))
-    n_grams = F.greatest(F.length("nt") - F.lit(k - 1), F.lit(0))
-    grams = base.select(
-        F.col(id_col),
-        F.transform(
-            F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
-                F.array().cast("array<int>")
-            ),
-            lambda i: X.hash60_col(F.col("nt").substr(i, F.lit(k))),
-        ).alias("hs"),
-    )
-    # window minimum = fold of `least` over `window` shifted slices
-    n_windows = F.greatest(F.size("hs") - F.lit(window - 1), F.lit(0))
-    acc = F.slice("hs", 1, n_windows)
-    for j in range(1, window):
-        acc = F.zip_with(
-            acc, F.slice("hs", 1 + j, n_windows), lambda a, b: F.least(a, b)
-        )
-    mins = grams.select(
-        F.col(id_col), F.array_distinct(acc).alias("fps")
-    )
-    return mins.select(F.col(id_col), F.explode("fps").alias("fingerprint"))
+    Implemented as an Arrow-batched ``mapInPandas`` kernel — a
+    deliberate exception to the all-native rule, with measurements:
+    two native formulations were built first and both went
+    super-linear under Catalyst's CollapseProject alias inlining (an
+    aliased array referenced from a per-element ``transform`` lambda
+    re-evaluates its defining subtree per element: 139 s for 5k small
+    docs; a slice+zip_with refactor still multiplied nested
+    re-evaluations: 25 s). The per-row rolling-hash loop is exactly
+    the shape the engine's Python crossing exists for — data-local,
+    stateless per row, O(n·window) — and runs the same workload in
+    ~2 s. Hashes stay md5-based so the DuckDB oracle is unchanged.
+
+    Normalization matches ``textfns.normalized_text_col`` byte-for-byte
+    (lower → collapse ``[ \\t\\n\\r]+`` to one space → trim)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    ddl = f"{id_col} {id_type}, fingerprint long"
+    ws_rx = _re.compile(r"[ \t\n\r]+")
+
+    def run(pdfs):
+        for pdf in pdfs:
+            ids, fps = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                nt = ws_rx.sub(" ", (t or "").lower()).strip(" ")
+                m = len(nt) - k + 1
+                if m <= 0:
+                    continue
+                hs = [
+                    int(hashlib.md5(nt[j : j + k].encode()).hexdigest()[:15], 16)
+                    for j in range(m)
+                ]
+                seen = set()
+                for j in range(len(hs) - window + 1):
+                    v = min(hs[j : j + window])
+                    if v not in seen:
+                        seen.add(v)
+                        ids.append(i)
+                        fps.append(v)
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return spread_to_parallelism(docs).select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(run, ddl)
