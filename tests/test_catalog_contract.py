@@ -1,0 +1,48 @@
+"""Static contract checks for the driver gate: every oracle key maps
+to a registered query, and every query is callable with the documented
+signature. Catches registration drift before the driver's
+CORRECTNESS_r{N} run does."""
+
+from __future__ import annotations
+
+import inspect
+
+
+def test_every_oracle_has_a_query():
+    from ocr_engine_spark.catalog import oracle_sql, queries
+
+    q, o = queries(), oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+
+
+def test_queries_have_driver_signature():
+    from ocr_engine_spark.catalog import queries
+
+    for name, fn in queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], name
+
+
+def test_oracle_sql_mentions_only_registered_tables():
+    from ocr_engine_spark.catalog import oracle_sql
+
+    tables = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    import re
+
+    for name, sql in oracle_sql().items():
+        froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql)
+        # CTE names and derived tables are fine; real tables must be known
+        ctes = set(re.findall(r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.I))
+        for t in froms:
+            assert t in tables or t in ctes or t == "unnest", (name, t)
+
+
+def test_entry_returns_expected_columns():
+    import __spark_entry__ as e
+
+    src = inspect.getsource(e.entry)
+    for col in ("conv_id", "turn_idx", "extracted_text", "spans"):
+        assert col in src
