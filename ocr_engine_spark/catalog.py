@@ -526,6 +526,40 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_scale_oracle(num_perm: int = 16, bands: int = 4,
+                           threshold: float = 0.05) -> str:
+    j = (
+        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)"
+    )
+    return f"""
+WITH cand AS ({_lsh_candidates_oracle(num_perm, bands)}),
+sets_ AS (
+  SELECT doc_id, {SHINGLES_SQL.format(t='t')} AS sh
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+)
+SELECT cand.id_a, cand.id_b, {j} AS jaccard
+FROM cand
+JOIN sets_ sa ON sa.doc_id = cand.id_a
+JOIN sets_ sb ON sb.doc_id = cand.id_b
+WHERE {j} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@_register("near_dup_scale_path", oracle=_near_dup_scale_oracle(16, 4, 0.05))
+def q_near_dup_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production near-dup pipeline: MinHash signatures →
+    LSH band candidates → exact shingle-Jaccard verify — every join
+    keyed on band hashes or candidate ids, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_perm=16)
+    cand = dedup.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    return dedup.jaccard_verify(cand, docs, threshold=0.05).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @_register("simhash_documents", oracle=_simhash_oracle(60))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
