@@ -222,16 +222,90 @@ _TOKEN_RX = re.compile(
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"
     r"|<([a-zA-Z][-.a-zA-Z0-9:_]*)"
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
-    r"(/?)>",
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.DOTALL,
 )
+
+# stdlib html.parser's CDATA_CONTENT_ELEMENTS: inside <script>/<style>
+# everything up to the matching real end tag is opaque text — tag-like
+# literals in script source must not generate events.
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_ENDTAG_FULL = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
+def _is_startend(body: str) -> bool:
+    """Whether a start-tag attr body denotes an XHTML self-closing tag,
+    the way stdlib html.parser decides it: after consuming attributes,
+    the leftover must be a lone "/" (a "/" that terminates an unquoted
+    attribute value — ``href=http://x/`` — belongs to the value). Only
+    called when ``body`` ends with "/", so the scan is the rare path."""
+    i, n = 0, len(body)
+    while True:
+        # skip whitespace and stray slashes that are not the final "/"
+        while i < n and (body[i].isspace() or (body[i] == "/" and i != n - 1)):
+            i += 1
+        if i >= n:
+            return False
+        if body[i] == "/":  # i == n - 1 here by the loop condition
+            return True
+        # attribute name (stops at whitespace, "/", "=")
+        while i < n and not body[i].isspace() and body[i] not in "/=":
+            i += 1
+        while i < n and body[i].isspace():
+            i += 1
+        if i < n and body[i] == "=":
+            i += 1
+            while i < n and body[i].isspace():
+                i += 1
+            if i < n and body[i] in "'\"":
+                q = body[i]
+                i += 1
+                while i < n and body[i] != q:
+                    i += 1
+                i += 1
+            else:
+                # unquoted value: consumes everything up to whitespace,
+                # trailing "/" included (stdlib bare-value [^>\s]*)
+                while i < n and not body[i].isspace():
+                    i += 1
+
+
+def _skip_cdata(html: str, pos: int, tag: str, h: _Extractor) -> int:
+    """Consume a <script>/<style> interior as one opaque data run,
+    mirroring stdlib set_cdata_mode: only a *real* end tag of the same
+    name (``</script ... >`` with no attrs) terminates; tag-like
+    literals inside (``document.write('<style>')``, ``</scriptx>``) are
+    data. Returns the scan position after the end tag, or EOF if
+    unterminated (the element stays open, exactly like stdlib)."""
+    close_rx = _CDATA_CLOSE[tag]
+    search_from = pos
+    while True:
+        cm = close_rx.search(html, search_from)
+        if cm is None:
+            if pos < len(html):
+                h.handle_data(html[pos:])
+            return len(html)
+        em = _ENDTAG_FULL.match(html, cm.start())
+        if em is not None and em.group(1).lower() == tag:
+            if cm.start() > pos:
+                h.handle_data(html[pos : cm.start()])
+            h.handle_endtag(tag)
+            return em.end()
+        search_from = cm.start() + 2
 
 
 def _tokenize_fast(html: str, h: _Extractor) -> None:
     pos = 0
+    n = len(html)
     data = h.handle_data
-    for m in _TOKEN_RX.finditer(html):
+    search = _TOKEN_RX.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
         s = m.start()
         if s > pos:
             chunk = html[pos:s]
@@ -242,12 +316,16 @@ def _tokenize_fast(html: str, h: _Extractor) -> None:
             h.handle_endtag(endname.lower())
             continue
         startname = m.group(2)
-        if startname is not None:
-            tag = startname.lower()
-            h.handle_starttag(tag, ())
-            if m.group(4):  # self-closing: startendtag = start + end
-                h.handle_endtag(tag)
-    if pos < len(html):
+        if startname is None:
+            continue  # comment / decl / processing instruction
+        tag = startname.lower()
+        body = m.group(3)
+        h.handle_starttag(tag, ())
+        if body.endswith("/") and _is_startend(body):
+            h.handle_endtag(tag)  # self-closing: startendtag
+        elif tag in _CDATA_CLOSE:
+            pos = _skip_cdata(html, pos, tag, h)
+    if pos < n:
         chunk = html[pos:]
         data(unescape(chunk) if "&" in chunk else chunk)
 

@@ -133,12 +133,13 @@ def _metrics_from_input(bucketed: DataFrame, window_duration: str,
 
 CONV_STATS_DDL = (
     "conv_id string, turns_seen long, chars_in long, max_turn_idx int, "
-    "batches int"
+    "batches int, final int"
 )
 _CONV_STATE_DDL = "turns_seen long, chars_in long, max_turn_idx int, batches int"
 
 
-def build_conv_stats_stream(stream: DataFrame) -> DataFrame:
+def build_conv_stats_stream(stream: DataFrame,
+                            idle_ttl_ms: int = 30 * 60 * 1000) -> DataFrame:
     """Custom stateful per-conversation accumulator via
     ``applyInPandasWithState`` — the arbitrary-state path for logic
     windowed aggregation can't express (running totals that must
@@ -149,12 +150,30 @@ def build_conv_stats_stream(stream: DataFrame) -> DataFrame:
     Each trigger emits the conversation's updated totals. State is
     per-key and partition-pruned by the groupBy hash — at 10^12-turn
     scale the state store shards with the cluster exactly like the
-    extraction buckets do."""
+    extraction buckets do.
+
+    State is *bounded*: a ``ProcessingTimeTimeout`` of ``idle_ttl_ms``
+    evicts conversations idle for the TTL (ADVICE r1 — with NoTimeout
+    every finished conversation occupied the state store forever on a
+    continuous stream). On timeout the conversation's final totals are
+    emitted once more with ``final = 1`` and the state is removed; a
+    conversation that resumes after eviction simply restarts its
+    counters (at-least-once totals per retention window, the standard
+    TTL trade)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd
 
+        cols = ["conv_id", "turns_seen", "chars_in", "max_turn_idx",
+                "batches", "final"]
+        if state.hasTimedOut:
+            turns, chars, max_ti, batches = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], turns, chars, max_ti, batches, 1)], columns=cols
+            )
+            return
         turns, chars, max_ti, batches = (
             state.get if state.exists else (0, 0, -1, 0)
         )
@@ -165,9 +184,9 @@ def build_conv_stats_stream(stream: DataFrame) -> DataFrame:
                 max_ti = max(max_ti, int(pdf["turn_idx"].max()))
         batches += 1
         state.update((turns, chars, max_ti, batches))
+        state.setTimeoutDuration(idle_ttl_ms)
         yield pd.DataFrame(
-            [(key[0], turns, chars, max_ti, batches)],
-            columns=["conv_id", "turns_seen", "chars_in", "max_turn_idx", "batches"],
+            [(key[0], turns, chars, max_ti, batches, 0)], columns=cols
         )
 
     pruned = stream.select("conv_id", "turn_idx", "text")
@@ -176,5 +195,5 @@ def build_conv_stats_stream(stream: DataFrame) -> DataFrame:
         outputStructType=CONV_STATS_DDL,
         stateStructType=_CONV_STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -245,6 +245,33 @@ def test_fast_tokenizer_matches_stdlib_on_corpus():
         "<p>entity &#65;&#x42; test</p>",
         "<?xml version?><p>after the pi more words here for density</p>",
         '<p title="a>b">quoted gt in attr plus enough words here</p>',
+        # self-closing skip/boiler/table tags must not corrupt state
+        # (ADVICE r1: group(3) used to swallow the '/')
+        "<nav/><p>content words enough for density one two three four five six</p>",
+        "<script/><p>after selfclosed script many words to pass the bar</p>",
+        "<style/><p>after selfclosed style many words to pass the bar</p>",
+        "<table/><p>after selfclosed table many words to pass the bar</p>",
+        "<nav /><p>space before slash still self-closing per stdlib rule</p>",
+        '<nav id="x"/><p>attr then slash still self-closing for stdlib</p>',
+        '<a href="http://x.com/">trailing slash in quoted attr</a> tail',
+        "<p>unquoted <a href=http://x.com/>value slash</a> is not selfclose</p>",
+        "<div foo/>bare attr then slash</div>",
+        "<div foo=/>slash as bare value</div>",
+        # CDATA content elements: tag-like literals inside script/style
+        # are data, not events (ADVICE r1: rawtext mode)
+        "<script>document.write('<style>');</script>"
+        "<p>content after script literal style enough words here</p>",
+        "<script>var a = '</style>';</script>"
+        "<p>script containing style endtag literal plus words</p>",
+        "<style>p:after { content: '</p>' }</style>"
+        "<p>style containing p endtag literal and enough word count</p>",
+        "<script>if (a<b && c>d) { x('<table><tr><td>') }</script>"
+        "<p>angle soup inside script stays data with enough words</p>",
+        "<script>unterminated script swallows the rest <p>gone</p>",
+        "<script></scriptx></script><p>fake close then real one words</p>",
+        "<script></script foo='bar'></script><p>attr endtag is data</p>",
+        "<SCRIPT>UPPER case '<p>'</SCRIPT><p>case insensitive close words</p>",
+        "<script>nested <script> open</script><p>after nested open words</p>",
     ]
     for c in cases:
         assert extract_blocks(c) == extract_blocks_ref(c), c[:80]
