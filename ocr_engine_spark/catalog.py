@@ -299,11 +299,14 @@ ORDER BY doc_id
 def q_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = X.tokens_col("text")
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at
+    # throw on an empty token array; the DuckDB oracle's t[1] yields
+    # NULL — try_element_at matches it on degenerate input.
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_words"),
-        F.element_at(toks, 1).alias("first_word"),
-        F.element_at(toks, -1).alias("last_word"),
+        F.try_element_at(toks, F.lit(1)).alias("first_word"),
+        F.try_element_at(toks, F.lit(-1)).alias("last_word"),
     ).orderBy("doc_id")
 
 
@@ -467,7 +470,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_oracle(bits: int = 60) -> str:
+def _simhash_core(bits: int = 60) -> str:
+    """The simhash computation as a bare SELECT (no ORDER BY) so it can
+    be reused as a CTE by the near-pairs oracle."""
     votes = ",\n       ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
@@ -487,7 +492,25 @@ votes AS (
 )
 SELECT doc_id, ({fold})::BIGINT AS simhash
 FROM votes
-ORDER BY doc_id
+"""
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    return _simhash_core(bits) + "ORDER BY doc_id\n"
+
+
+def _simhash_pairs_oracle(bits: int = 60, max_hamming: int = 7) -> str:
+    """Exact hamming-radius pairs over the (already-oracled) simhash
+    CTE — the oracle that would have caught the round-1 recall gap: it
+    enumerates ALL pairs with bit_count(xor) <= radius, so any pair the
+    banded candidate filter misses is a hash mismatch."""
+    return f"""
+WITH sh AS ({_simhash_core(bits)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
 """
 
 
@@ -565,13 +588,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@_register("simhash_near_pairs_documents")
+@_register("simhash_near_pairs_documents", oracle=_simhash_pairs_oracle(60, 7))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash chunk-banded near-pairs (rows-only: the oracle would be
-    the simhash oracle squared; the per-doc simhash values are already
-    value-checked by simhash_documents)."""
+    """SimHash chunk-banded near-pairs at radius 7 (8 chunks — the
+    pigeonhole-complete configuration), hash-verified against the
+    exact all-pairs hamming oracle."""
     sims = textstats.simhash(_t(spark, sf_dir, "documents"))
-    return dedup.simhash_near_pairs(sims, max_hamming=26).orderBy("id_a", "id_b")
+    return dedup.simhash_near_pairs(sims, max_hamming=7).orderBy("id_a", "id_b")
 
 
 # ------------------------------------------------- similarity search
@@ -597,16 +620,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qvec, k=10)
 
 
-def _lsh_bucket_oracle(num_planes: int = 8, dims: int = 64) -> str:
-    planes = similarity.plane_weight_lists(num_planes, dims)
+def _lsh_fold_sql(planes, vec_sql: str) -> str:
+    """The sign-bucket fold over a SQL vector expression, with the
+    hyperplanes embedded as literals (mirror of
+    similarity.lsh_bucket_col)."""
     terms = []
     for j, w in enumerate(planes):
         lit = "[" + ", ".join(f"{float(x):.1f}" for x in w) + "]"
         terms.append(
-            f"CASE WHEN list_dot_product(list_transform(embedding, x -> x::DOUBLE), {lit}) > 0 "
+            f"CASE WHEN list_dot_product({vec_sql}, {lit}) > 0 "
             f"THEN (1::BIGINT << {j}) ELSE 0 END"
         )
-    fold = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+def _lsh_bucket_oracle(num_planes: int = 8, dims: int = 64) -> str:
+    planes = similarity.plane_weight_lists(num_planes, dims)
+    fold = _lsh_fold_sql(planes, "list_transform(embedding, x -> x::DOUBLE)")
     return f"""
 SELECT vec_id, ({fold})::BIGINT AS bucket
 FROM embeddings
@@ -621,16 +651,41 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_buckets_literal(emb, planes).orderBy("vec_id")
 
 
-@_register("ann_lsh_topk")
+def _ann_lsh_topk_oracle(num_planes: int = 8, dims: int = 64, k: int = 10) -> str:
+    planes = similarity.plane_weight_lists(num_planes, dims)
+    fold = _lsh_fold_sql(planes, "e")
+    cos = (
+        "round(list_dot_product(v.e, q.qe)"
+        " / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+b AS (SELECT vec_id, ({fold})::BIGINT AS bucket FROM v),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0)
+SELECT v.vec_id, {cos} AS cosine
+FROM v JOIN b ON v.vec_id = b.vec_id, q, qb
+WHERE b.bucket = qb.bucket
+ORDER BY cosine DESC, v.vec_id
+LIMIT {k}
+"""
+
+
+@_register("ann_lsh_topk", oracle=_ann_lsh_topk_oracle(8, 64, 10))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: cosine top-k restricted to the query's LSH
-    bucket (rows-only: composition of two already-oracled steps)."""
+    bucket. The query's bucket is computed driver-side from the literal
+    hyperplanes (pure Python — no extra Spark job; the only cluster
+    work is the single bucket-filtered ranking scan)."""
     emb = _t(spark, sf_dir, "embeddings")
     planes = similarity.plane_weight_lists(8, 64)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qb = similarity.bucket_of(qvec, planes)
     buckets = similarity.lsh_buckets_literal(emb, planes)
-    qb = buckets.filter(F.col("vec_id") == 0).first()["bucket"]
-    in_bucket = emb.join(buckets.filter(F.col("bucket") == qb).select("vec_id"), "vec_id")
+    in_bucket = emb.join(
+        buckets.filter(F.col("bucket") == qb).select("vec_id"), "vec_id"
+    )
     return similarity.cosine_topk(in_bucket, qvec, k=10)
 
 
@@ -701,11 +756,14 @@ def q_fields_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.coalesce(F.col("o_orderpriority"), F.lit(""))), r"[-,;\s]+"),
         lambda x: x != "",
     )
+    # try_element_at: under ANSI mode element_at throws
+    # INVALID_ARRAY_INDEX on an all-separator/empty priority string,
+    # where the oracle's fs[1]/fs[-1] return NULL (ADVICE r1).
     return orders.select(
         "o_orderkey",
         F.size(fs).cast("long").alias("n_fields"),
-        F.element_at(fs, 1).alias("first_field"),
-        F.element_at(fs, -1).alias("last_field"),
+        F.try_element_at(fs, F.lit(1)).alias("first_field"),
+        F.try_element_at(fs, F.lit(-1)).alias("last_field"),
     ).orderBy("o_orderkey")
 
 
@@ -928,11 +986,50 @@ def q_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assignments(emb, cents).orderBy("vec_id")
 
 
-@_register("ann_ivf_topk")
+_IVF_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+c1 AS (SELECT e FROM v WHERE vec_id = 1),
+c2 AS (SELECT e FROM v WHERE vec_id = 2),
+c3 AS (SELECT e FROM v WHERE vec_id = 3),
+c4 AS (SELECT e FROM v WHERE vec_id = 4),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, list_position(dots, list_max(dots))::INT AS centroid
+  FROM (
+    SELECT v.vec_id,
+           [list_dot_product(v.e, c1.e), list_dot_product(v.e, c2.e),
+            list_dot_product(v.e, c3.e), list_dot_product(v.e, c4.e)] AS dots
+    FROM v, c1, c2, c3, c4)
+),
+qd AS (
+  SELECT [list_dot_product(q.qe, c1.e), list_dot_product(q.qe, c2.e),
+          list_dot_product(q.qe, c3.e), list_dot_product(q.qe, c4.e)] AS dots
+  FROM q, c1, c2, c3, c4
+),
+probes AS (
+  SELECT i FROM qd, (SELECT unnest(generate_series(1, 4)) AS i)
+  ORDER BY qd.dots[i] DESC, i
+  LIMIT 2
+)
+SELECT v.vec_id,
+       round(list_dot_product(v.e, q.qe)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+FROM v JOIN assign ON v.vec_id = assign.vec_id, q
+WHERE assign.centroid IN (SELECT i FROM probes)
+ORDER BY cosine DESC, v.vec_id
+LIMIT 10
+"""
+
+
+@_register("ann_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: probe the top-2 inverted lists for the query vector
-    (rows-only: composition of the oracled assignment step and the
-    oracled cosine ranking)."""
+    """IVF search: probe the top-2 inverted lists for the query vector.
+    The probe-list ranking is driver-side (centroids are a tiny
+    deliberate collect); the cluster does one assignment-filtered
+    ranking scan. Oracle = the oracled assignment CTE + the same probe
+    rule + cosine ORDER BY/LIMIT."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]

@@ -187,22 +187,52 @@ def embedding_near_pairs(emb: DataFrame, planes, threshold: float = 0.5,
 
 
 def simhash_near_pairs(simhashes: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 8, bits: int = 60,
-                       chunks: int = 4) -> DataFrame:
-    """SimHash near-dup pairs: band the 60-bit hash into ``chunks``
-    15-bit chunks (pigeonhole: hamming ≤ max_hamming with 4 chunks →
-    some chunk is ≤ 2 bits off; we use exact-chunk match as the
-    candidate filter, then exact hamming ≤ threshold verify via
-    bit_count(xor))."""
-    width = bits // chunks
-    mask = (1 << width) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("chunk_idx"),
-            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                       max_hamming: int = 3, bits: int = 60,
+                       chunks: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs with a *complete* chunk-banded candidate
+    filter: split the ``bits``-bit hash into ``chunks`` contiguous
+    chunks and take exact-chunk equality as the candidate condition,
+    then verify exact ``bit_count(xor) <= max_hamming``.
+
+    Completeness is the pigeonhole guarantee and it requires
+    ``chunks >= max_hamming + 1``: with at most ``max_hamming``
+    differing bits spread over ``chunks`` chunks, at least one chunk
+    has zero differing bits, so every qualifying pair collides on some
+    chunk. (Round-1 defect: 4 chunks were used for radii up to 26,
+    where a 7/7/6/6 bit spread never collides — the filter silently
+    lost recall. ``chunks`` now defaults to ``max_hamming + 1`` and a
+    smaller explicit value is rejected.)
+
+    Scale: the self-join stays keyed on (chunk_idx, chunk_val) — join
+    fan-out is chunk-bucket sized, never n². More chunks ⇒ wider radius
+    coverage but smaller chunks ⇒ bigger buckets; the standard
+    multi-index trade (Manku et al., WWW 2007 shape)."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks < max_hamming + 1:
+        raise ValueError(
+            f"chunks={chunks} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need chunks >= max_hamming + 1"
         )
-        for c in range(chunks)
-    ]
+    if chunks > bits:
+        raise ValueError(f"chunks={chunks} exceeds bits={bits}")
+    # Uneven widths when bits % chunks != 0: first (bits % chunks)
+    # chunks get one extra bit.
+    base, rem = divmod(bits, chunks)
+    chunk_cols = []
+    offset = 0
+    for c in range(chunks):
+        width = base + (1 if c < rem else 0)
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), offset)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+        )
+        offset += width
     banded = simhashes.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
@@ -217,9 +247,9 @@ def simhash_near_pairs(simhashes: DataFrame, id_col: str = "doc_id",
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
     )

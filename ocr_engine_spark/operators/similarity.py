@@ -83,6 +83,22 @@ def lsh_bucket_col(planes: List[List[int]], vec_col: str = "embedding") -> F.Col
     return bucket
 
 
+def bucket_of(vec: Sequence[float], planes: List[List[int]]) -> int:
+    """Driver-side twin of ``lsh_bucket_col`` for a single vector —
+    used to compute a *query's* bucket without an extra Spark job (the
+    planes are literals; the fold is pure Python). The accumulation
+    order matches the engines' ordered zip_with/list_dot_product fold,
+    so the sign decisions are bit-identical."""
+    b = 0
+    for j, w in enumerate(planes):
+        acc = 0.0
+        for a, x in zip(vec, w):
+            acc += float(a) * float(x)
+        if acc > 0:
+            b += 1 << j
+    return b
+
+
 def lsh_buckets_literal(emb: DataFrame, planes: List[List[int]],
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-bucket with literal hyperplanes. Scale: one projection over
