@@ -26,7 +26,10 @@ from .functions import textfns as X
 from .functions.columns import clamp_conf_col, payload_kind_col, slugify_col
 from .operators import dedup, similarity, textstats
 from .plans.extract_plan import build_extracted
-from .sources.tableio import transcripts_from_documents
+from .sources.tableio import (
+    transcripts_from_documents,
+    transcripts_from_documents_multikind,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -64,35 +67,144 @@ def _register(name: str, oracle: Optional[str] = None):
 
 # ------------------------------------------------- flagship extraction
 
-@_register(
-    "flagship_extract",
-    oracle="""
-SELECT cast(doc_id AS varchar) AS conv_id,
-       0::INT                  AS turn_idx,
-       CASE WHEN text IS NULL OR text = '' THEN 'text'
-            WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
-            WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
-            ELSE 'text' END    AS kind,
-       array_to_string(
+# The text-arm extraction formula (non-empty rstripped lines joined by
+# \n) — shared by the flagship oracle's rem-0 arm and the span-count
+# oracle.
+_TEXT_EXTRACT_SQL = """array_to_string(
          list_filter(
            list_transform(string_split(coalesce(text, ''), chr(10)),
                           x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))),
            x -> x <> ''),
-         chr(10))              AS extracted_text
-FROM documents
-ORDER BY conv_id, turn_idx
-""",
+         chr(10))"""
+
+# Replays tableio.transcripts_from_documents_multikind's payload
+# construction arithmetic per dispatch arm — kind AND extracted_text
+# for all four kernels under one hash (text verbatim; html = h1 +
+# density-gated collapsed <p> + table rows; tool = ordered JSON
+# flatten; pdf = two-shard token stream → sorted shards, page blocks).
+_MULTIKIND_EXTRACT_ORACLE = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, text AS rawt, lang, source
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, t, rawt, lang, source,
+         list_filter(string_split_regex(t, '[ \t\n\r]+'), x -> x <> '') AS w,
+         string_split(t, chr(10)) AS ls
+  FROM base
+),
+pdf0 AS (
+  SELECT doc_id,
+         list_transform(ls[1:(len(ls) + 1) // 2],
+           l -> array_to_string(
+                  list_filter(string_split_regex(l, '[ \t]+'), x -> x <> ''), ' ')) AS c1,
+         list_transform(ls[(len(ls) + 1) // 2 + 1 : len(ls)],
+           l -> array_to_string(
+                  list_filter(string_split_regex(l, '[ \t]+'), x -> x <> ''), ' ')) AS c2
+  FROM parts
+),
+pdf1 AS (
+  SELECT doc_id,
+         array_to_string(list_filter(c1, x -> x <> ''), chr(10)) AS p1,
+         array_to_string(list_filter(c2, x -> x <> ''), chr(10)) AS p2
+  FROM pdf0
+),
+arms AS (
+  SELECT parts.doc_id,
+         {text_extract} AS text_extract,
+         'Doc ' || parts.doc_id || chr(10) ||
+         CASE WHEN len(w) > 0
+                   AND len(w)::DOUBLE
+                       / greatest(ceil(length(array_to_string(w, ' ')) / 80.0), 1)
+                       >= 6.0
+              THEN array_to_string(w, ' ') || chr(10) ELSE '' END ||
+         'doc | ' || parts.doc_id || chr(10) || 'lang | ' || lang AS html_extract,
+         'doc: ' || parts.doc_id || chr(10) ||
+         'lang: ' || to_json(lang)::VARCHAR || chr(10) ||
+         'src: ' || to_json(source)::VARCHAR || chr(10) ||
+         'note: ' || to_json(rawt)::VARCHAR AS tool_extract,
+         array_to_string(list_filter([
+           CASE WHEN p1 <> '' THEN 'Page 1:' || chr(10) || p1 END,
+           CASE WHEN p2 <> '' THEN 'Page 2:' || chr(10) || p2 END
+         ], x -> x IS NOT NULL), chr(10)) AS pdf_extract,
+         rawt
+  FROM parts JOIN pdf1 ON parts.doc_id = pdf1.doc_id
 )
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT                  AS turn_idx,
+       CASE doc_id % 4
+         WHEN 1 THEN 'html'
+         WHEN 2 THEN 'tool'
+         WHEN 3 THEN 'pdf'
+         ELSE CASE WHEN rawt IS NULL OR rawt = '' THEN 'text'
+                   WHEN rawt LIKE 'JVBERi1UT0tF%' THEN 'pdf'
+                   WHEN regexp_matches(rawt, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
+                   ELSE 'text' END
+       END AS kind,
+       CASE doc_id % 4
+         WHEN 1 THEN html_extract
+         WHEN 2 THEN tool_extract
+         WHEN 3 THEN pdf_extract
+         ELSE text_extract
+       END AS extracted_text
+FROM arms
+ORDER BY conv_id, turn_idx
+""".replace("{text_extract}", _TEXT_EXTRACT_SQL.replace("text", "rawt", 1))
+
+
+@_register("flagship_extract", oracle=_MULTIKIND_EXTRACT_ORACLE)
 def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full extraction pipeline (bucket → shuffle → sort →
-    mapInArrow) over documents recast as transcripts. The driver's
-    documents are plain text, so extracted_text is SQL-expressible;
-    the span/metrics columns are covered by the golden pytest suite."""
-    df = transcripts_from_documents(spark, sf_dir)
+    mapInArrow) over documents recast as *multi-kind* transcripts
+    (doc_id % 4 → text/html/tool/pdf payload constructors), so the
+    driver hash covers all four dispatch arms of the kernel — HTML
+    boilerplate classification, tool-JSON flatten, and PDF token-stream
+    segmentation included, not just plain text. Span/metrics columns
+    stay pytest-covered; span *counts* are driver-checked by
+    extract_span_counts."""
+    df = transcripts_from_documents_multikind(spark, sf_dir)
     out = build_extracted(df, num_buckets=32, salt_buckets=4)
     return out.select("conv_id", "turn_idx", "kind", "extracted_text").orderBy(
         "conv_id", "turn_idx"
     )
+
+
+@_register(
+    "extract_span_counts",
+    oracle="""
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT AS turn_idx,
+       len(list_filter(generate_series(1, len(ls)),
+           i -> ls[i] <> '' AND (i = 1 OR ls[i - 1] = '')))::INT AS n_spans,
+       len(list_filter(generate_series(1, len(ls)),
+           i -> ls[i] <> '' AND (i = 1 OR ls[i - 1] = '')))::BIGINT AS blocks_kept,
+       0::BIGINT AS blocks_dropped,
+       0::INT AS parse_failed
+FROM (
+  SELECT doc_id,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS ls
+  FROM documents)
+ORDER BY conv_id, turn_idx
+""",
+)
+def q_extract_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked span *counts* through the full Arrow extraction
+    stage on the text arm: a text payload's spans are its paragraph
+    blocks — runs of consecutive non-empty (rstripped) lines — so
+    n_spans/blocks_kept equal the number of run starts, blocks_dropped
+    and parse_failed are 0. Full span offsets stay pytest-pinned
+    (they're nested structs, not SQL-expressible)."""
+    df = transcripts_from_documents(spark, sf_dir)
+    out = build_extracted(df, num_buckets=16, salt_buckets=2)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.size("spans").alias("n_spans"),
+        "blocks_kept",
+        "blocks_dropped",
+        "parse_failed",
+    ).orderBy("conv_id", "turn_idx")
 
 
 @_register("extract_spans")
@@ -110,6 +222,108 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocks_dropped",
         "parse_failed",
     ).orderBy("conv_id", "turn_idx")
+
+
+# ------------------------------------------- composed field record (J2)
+
+def _slug_sql(s: str) -> str:
+    inner = (
+        f"regexp_replace(regexp_replace(lower(trim({s})), '[^a-z0-9]+', '_', 'g'),"
+        f" '^_+|_+$', '', 'g')"
+    )
+    return f"substr(CASE WHEN {inner} = '' THEN 'field' ELSE {inner} END, 1, 80)"
+
+
+def _field_record_arm(key_sql: str, value_sql: str, conf_sql: str) -> str:
+    return f"""
+  SELECT doc_id,
+         {key_sql} AS key,
+         {value_sql} AS value,
+         {conf_sql} AS conf,
+         'doc#page ' || coalesce(
+           list_filter(generate_series(1, len(ls)),
+                       i -> contains(ls[i], {value_sql}))[1], 1) AS source
+  FROM base"""
+
+
+def _clamp_sql(v: str) -> str:
+    return f"CASE WHEN {v} < 0 THEN 0.0::DOUBLE WHEN {v} > 1 THEN 1.0::DOUBLE ELSE {v} END"
+
+
+_FIELD_RECORD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents
+)
+{_field_record_arm(_slug_sql("'Language: ' || lang"), "lang",
+                   _clamp_sql("(n_chars / 5000.0 - 0.1)"))}
+UNION ALL
+{_field_record_arm(_slug_sql("'Source System (' || source || ')'"), "source",
+                   _clamp_sql("(2.0 - n_chars / 1000.0)"))}
+UNION ALL
+{_field_record_arm(_slug_sql("'Head!!'"),
+                   "substr(trim(ls[least(3, len(ls))]), 1, 40)",
+                   "0.5::DOUBLE")}
+ORDER BY doc_id, key
+"""
+
+
+@_register("field_record_documents", oracle=_FIELD_RECORD_ORACLE)
+def q_field_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's composed rich-extraction record — per document,
+    ``{key → {value, conf, source}}`` (parity anchor:
+    /root/reference/app.py:606-630) — exploded to one row per field:
+
+    - key   = X1 slugify of a data-derived label
+      (/root/reference/app.py:187-191);
+    - conf  = X2 clamp with null → 0.5 default
+      (/root/reference/app.py:226-231);
+    - source = J2 source-attribution containment probe: pages (= text
+      lines) scanned in order, first page containing the value wins,
+      default page 1 (/root/reference/app.py:620-628).
+
+    Pure projection + inline over the scan — zero shuffles; the map
+    shape is one ``map_from_entries(collect_list(...))`` away when a
+    consumer wants the un-exploded record."""
+    docs = _t(spark, sf_dir, "documents")
+    ls = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    idx = F.sequence(F.lit(1), F.size(ls))
+
+    def field(label, value, conf_raw):
+        hits = F.filter(
+            F.zip_with(ls, idx, lambda l, i: F.when(F.contains(l, value), i)),
+            lambda x: x.isNotNull(),
+        )
+        page = F.coalesce(F.try_element_at(hits, F.lit(1)), F.lit(1))
+        return F.struct(
+            slugify_col(label).alias("key"),
+            value.alias("value"),
+            clamp_conf_col(conf_raw).alias("conf"),
+            F.concat(F.lit("doc#page "), page.cast("string")).alias("source"),
+        )
+
+    fields = F.array(
+        field(
+            F.concat(F.lit("Language: "), F.col("lang")),
+            F.col("lang"),
+            F.col("n_chars") / 5000.0 - 0.1,
+        ),
+        field(
+            F.concat(F.lit("Source System ("), F.col("source"), F.lit(")")),
+            F.col("source"),
+            F.lit(2.0) - F.col("n_chars") / 1000.0,
+        ),
+        field(
+            F.lit("Head!!"),
+            F.substring(F.trim(F.element_at(ls, F.least(F.lit(3), F.size(ls)))), 1, 40),
+            F.lit(None).cast("double"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.inline(fields))
+        .orderBy("doc_id", "key")
+    )
 
 
 # ------------------------------------------------- scalar kernels (§2.8)
@@ -157,16 +371,25 @@ def q_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p1_payload_kind",
     oracle="""
 SELECT cast(doc_id AS varchar) AS conv_id,
-       CASE WHEN text IS NULL OR text = '' THEN 'text'
-            WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
-            WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
-            ELSE 'text' END AS kind
+       CASE doc_id % 4
+         WHEN 1 THEN 'html'
+         WHEN 2 THEN 'tool'
+         WHEN 3 THEN 'pdf'
+         ELSE CASE WHEN text IS NULL OR text = '' THEN 'text'
+                   WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
+                   WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
+                   ELSE 'text' END
+       END AS kind
 FROM documents
 ORDER BY conv_id
 """,
 )
 def q_payload_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = transcripts_from_documents(spark, sf_dir)
+    """P1 dispatch over the multi-kind recast: the native CASE
+    expression must classify all four constructed payload families
+    (base64-magic pdf, tool role, structural html sniff, text
+    default)."""
+    df = transcripts_from_documents_multikind(spark, sf_dir)
     return df.select(
         "conv_id", payload_kind_col("role", "text").alias("kind")
     ).orderBy("conv_id")
@@ -448,7 +671,9 @@ WITH sets_ AS (
   SELECT doc_id, {SHINGLES_SQL.format(t='t')} AS sh
   FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents WHERE doc_id < 150)
 ),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets_),
+inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sets_),
+stop AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 3),
+inv AS (SELECT inv0.* FROM inv0 JOIN stop USING (shingle)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -465,8 +690,10 @@ ORDER BY id_a, id_b
 """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification tier with the stop-shingle df-cap on
+    (max_df=3 — active at this tier: the densest shingle has df=4)."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.01, max_id=150
+        _t(spark, sf_dir, "documents"), threshold=0.01, max_id=150, max_df=3
     ).orderBy("id_a", "id_b")
 
 
@@ -871,15 +1098,91 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- multimodal columns
+#
+# The synthetic media table (operators.multimodal.synth_media) is fully
+# arithmetic — every FAKE-container byte derives from (seed, media_id)
+# — so the driver oracles replay the generator math AND the decoded
+# statistics (mean intensity, RMS) from generate_series, with no file
+# dependency: the Spark side must synthesize, Arrow-decode, and
+# aggregate the actual binary payloads to reproduce the same numbers.
 
-@_register("multimodal_image_features")
+_MM_N, _MM_SEED = 300, 7
+
+
+def _mm_image_oracle() -> str:
+    return f"""
+SELECT printf('m-%06d', i) AS media_id,
+       (16 + i % 17)::INT AS width,
+       (16 + i % 13)::INT AS height,
+       round(list_sum(list_transform(
+               generate_series(0, (16 + i % 17) * (16 + i % 13) - 1),
+               j -> ((({_MM_SEED} + i) * 1103515245 + j * 12345) >> 7) & 255
+             ))::DOUBLE / ((16 + i % 17) * (16 + i % 13)), 6) AS mean_intensity,
+       0::INT AS decode_failed
+FROM range({_MM_N}) t(i)
+WHERE i % 3 = 0
+ORDER BY media_id
+"""
+
+
+def _mm_frames_oracle() -> str:
+    return f"""
+SELECT media_id, frame_idx::INT AS frame_idx, width, height, frame_bytes
+FROM (
+  SELECT printf('m-%06d', i) AS media_id,
+         unnest(generate_series(0, (4 + i % 5) - 1, 2)) AS frame_idx,
+         (8 + i % 5)::INT AS width,
+         8::INT AS height,
+         (8 + (8 + i % 5) * 8)::INT AS frame_bytes
+  FROM range({_MM_N}) t(i)
+  WHERE i % 3 = 2)
+ORDER BY media_id, frame_idx
+"""
+
+
+def _mm_resize_oracle(out_w: int = 8, out_h: int = 6) -> str:
+    return f"""
+SELECT printf('m-%06d', i) AS media_id,
+       {out_w}::INT AS width,
+       {out_h}::INT AS height,
+       (8 + {out_w * out_h})::INT AS payload_bytes,
+       list_sum(list_transform(generate_series(0, {out_h - 1}),
+         y -> list_sum(list_transform(generate_series(0, {out_w - 1}),
+           x -> ((({_MM_SEED} + i) * 1103515245
+                  + ((y * (16 + i % 13) // {out_h}) * (16 + i % 17)
+                     + x * (16 + i % 17) // {out_w}) * 12345) >> 7) & 255
+         ))))::BIGINT AS pixel_sum
+FROM range({_MM_N}) t(i)
+WHERE i % 3 = 0
+ORDER BY media_id
+"""
+
+
+def _mm_audio_oracle() -> str:
+    return f"""
+SELECT printf('m-%06d', i) AS media_id,
+       8000::INT AS sample_rate,
+       (400 + i % 300)::BIGINT AS n_samples,
+       ((400 + i % 300) * 1000 // 8000)::BIGINT AS duration_ms,
+       round(sqrt(list_sum(list_transform(
+               generate_series(0, (400 + i % 300) - 1),
+               j -> ((((({_MM_SEED} + i) * 69069 + j * 362437) >> 5) & 255) - 128)
+                    * ((((({_MM_SEED} + i) * 69069 + j * 362437) >> 5) & 255) - 128)
+             ))::DOUBLE / (400 + i % 300)), 6) AS rms
+FROM range({_MM_N}) t(i)
+WHERE i % 3 = 1
+ORDER BY media_id
+"""
+
+
+@_register("multimodal_image_features", oracle=_mm_image_oracle())
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary image payloads → mapInPandas decode + features (rows-only:
-    binary container synthesis isn't SQL-expressible; decode/feature
-    semantics are pytest-verified against local decode)."""
+    """Binary image payloads → mapInPandas decode + features,
+    hash-verified against the generator-math oracle (dimensions AND
+    decoded mean intensity)."""
     from .operators import multimodal as mm
 
-    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    media = mm.synth_media(spark, _MM_N, seed=_MM_SEED, partitions=8)
     return (
         mm.image_features(media)
         .select("media_id", "width", "height",
@@ -889,42 +1192,53 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_frame_sample")
+@_register("multimodal_frame_sample", oracle=_mm_frames_oracle())
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video payloads → every-2nd-frame fan-out inside the Arrow stage
-    (rows-only; content equality is pytest-verified)."""
+    """Video payloads → every-2nd-frame fan-out inside the Arrow stage;
+    fan-out cardinality, indices, dimensions and per-frame byte sizes
+    hash-verified against the container-header math."""
     from .operators import multimodal as mm
 
-    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    media = mm.synth_media(spark, _MM_N, seed=_MM_SEED, partitions=8)
     return (
         mm.sample_frames(media, every_n=2)
         .select("media_id", "frame_idx", "width", "height",
-                F.length("frame").alias("frame_bytes"))
+                F.length("frame").cast("int").alias("frame_bytes"))
         .orderBy("media_id", "frame_idx")
     )
 
 
-@_register("multimodal_resize_images")
+@_register("multimodal_resize_images", oracle=_mm_resize_oracle(8, 6))
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-to-binary nearest-neighbor resize through the Arrow stage
-    (rows-only; pixel-exactness is pytest-verified)."""
+    """Binary-to-binary nearest-neighbor resize through the Arrow
+    stage; output dimensions, container size and the resized pixel
+    checksum hash-verified against the nearest-neighbor index math."""
     from .operators import multimodal as mm
 
-    media = mm.synth_media(spark, 300, seed=7, partitions=8)
-    return (
-        mm.resize_images(media, 8, 6)
-        .select("media_id", "width", "height",
-                F.length("payload").alias("payload_bytes"))
-        .orderBy("media_id")
+    media = mm.synth_media(spark, _MM_N, seed=_MM_SEED, partitions=8)
+    resized = mm.resize_images(media, 8, 6)
+    # pixel_sum over the payload *bytes* (skip the 8-byte header) —
+    # aggregate(sequence) over unhex'd binary stays JVM-side.
+    pixel_sum = F.aggregate(
+        F.sequence(F.lit(9), F.length("payload")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.conv(F.hex(F.substring(F.col("payload"), i, 1)), 16, 10).cast("long"),
     )
+    return resized.select(
+        "media_id", "width", "height",
+        F.length("payload").cast("int").alias("payload_bytes"),
+        pixel_sum.alias("pixel_sum"),
+    ).orderBy("media_id")
 
 
-@_register("multimodal_audio_features")
+@_register("multimodal_audio_features", oracle=_mm_audio_oracle())
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio payloads → rate/duration/RMS via mapInPandas (rows-only)."""
+    """Audio payloads → rate/duration/RMS via mapInPandas, hash-verified
+    against the generator-math oracle (decoded PCM RMS included)."""
     from .operators import multimodal as mm
 
-    media = mm.synth_media(spark, 300, seed=7, partitions=8)
+    media = mm.synth_media(spark, _MM_N, seed=_MM_SEED, partitions=8)
     return (
         mm.audio_features(media)
         .select("media_id", "sample_rate", "n_samples", "duration_ms",

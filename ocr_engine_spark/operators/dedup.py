@@ -125,11 +125,21 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.1,
-                        max_id: int | None = None) -> DataFrame:
+                        max_id: int | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Exact all-pairs n-gram Jaccard — the verification-tier operator
     (O(n²); bound n with ``max_id`` or use MinHash+LSH as the scale
     path). Join strategy: shingle-inverted-index join (pairs sharing ≥1
-    shingle) instead of a cross join, so disjoint docs never pair."""
+    shingle) instead of a cross join, so disjoint docs never pair.
+
+    ``max_df`` is the stop-shingle cap: shingles whose document
+    frequency exceeds it are dropped from the inverted index *before*
+    the self-join (the standard fan-out bound — a shingle with df=d
+    contributes d·(d-1)/2 candidate pairs, so ubiquitous shingles
+    dominate the join quadratically). Candidates change only for pairs
+    whose sole shared shingles are ubiquitous; the exact Jaccard verify
+    still runs on full shingle sets. PLANS.md §7 has the fan-out
+    arithmetic."""
     base = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
     sets_ = spread_to_parallelism(base).select(
         F.col(id_col), X.tokens_col(text_col).alias("toks")
@@ -138,6 +148,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         X.shingles_from_tokens(F.col("toks"), k_shingle).alias("sh"),
     )
     inv = sets_.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        # per-doc shingles are distinct, so count(*) == document
+        # frequency; the partial-aggregating groupBy collapses map-side.
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(keep, "shingle")
     cand = (
         inv.alias("a")
         .join(

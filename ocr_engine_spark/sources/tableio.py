@@ -70,17 +70,31 @@ AUDIT_SCHEMA = T.StructType(
 )
 
 
+def table_format() -> str:
+    """The storage-format seam (SURVEY.md §7.3.3): ``iceberg`` under a
+    production catalog, ``parquet`` locally. Env-injectable
+    (``OCR_ENGINE_TABLE_FORMAT``) so tests prove the swap actually
+    works — tests/test_tableio_format.py runs the full extract plan
+    through ORC with zero code changes."""
+    return os.environ.get("OCR_ENGINE_TABLE_FORMAT", "parquet")
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Scan the transcripts table. Schema is declared, so Catalyst
     prunes to exactly the columns downstream operators reference."""
-    return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+    return (
+        spark.read.format(table_format()).schema(TRANSCRIPTS_SCHEMA).load(path)
+    )
 
 
 def write_transcripts_parquet(spark: SparkSession, rows: Iterable[Dict], path: str,
                               partitions: int = 8) -> str:
-    """Materialize generator rows as a transcripts parquet table."""
+    """Materialize generator rows as a transcripts table (format per
+    the seam; named for the local default)."""
     df = spark.createDataFrame(list(rows), schema=TRANSCRIPTS_SCHEMA)
-    df.repartition(partitions).write.mode("overwrite").parquet(path)
+    df.repartition(partitions).write.mode("overwrite").format(
+        table_format()
+    ).save(path)
     return path
 
 
@@ -131,16 +145,134 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transcripts_from_documents_multikind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recast ``documents`` as transcripts with ``doc_id % 4`` selecting
+    a deterministic payload constructor, so one driver-gated query
+    exercises all four dispatch arms (text / html / tool / pdf) of the
+    extraction kernel — not just the plain-text one:
+
+    - rem 0 → plain text, verbatim;
+    - rem 1 → an HTML page: boilerplate nav/footer, an ``<h1>``, the
+      escaped text in one ``<p>``, and a 2-row ``<table>`` (exercises
+      skip subtrees, boilerplate containers, entity round-trip, the
+      density classifier, and table-row rendering);
+    - rem 2 → a tool turn whose payload wraps the text in a JSON object
+      with prefix/suffix noise (exercises the first-JSON-object probe
+      and the ordered flatten);
+    - rem 3 → a base64 ``%PDF-TOKENS`` stream: the text's lines split
+      into two *unsorted* shards of one page each, one paragraph per
+      line, words carrying SPACE breaks (exercises base64 decode, shard
+      sort, global page numbering, the line-assembly fold, gap handling
+      and page-block rendering).
+
+    Every constructor is a native Catalyst expression (no UDF), so the
+    recast is a pure projection over the scan; the DuckDB oracle
+    replays the same construction arithmetic on its side
+    (catalog._multikind_extract_oracle)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    rem = F.col("doc_id") % 4
+
+    # --- html (rem 1) -------------------------------------------------
+    esc = F.replace(
+        F.replace(
+            F.replace(text, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html_payload = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><ul><li><a href="/">Home</a></li></ul></nav>'),
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<p>"), esc, F.lit("</p>"),
+        F.lit("<table><tr><th>doc</th><td>"), F.col("doc_id").cast("string"),
+        F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr></table>"),
+        F.lit("<footer><p>generated for extraction tests</p></footer>"
+              "</body></html>"),
+    )
+
+    # --- tool (rem 2) -------------------------------------------------
+    tool_payload = F.concat(
+        F.lit("tool-output "),
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("doc"),
+                F.col("lang"),
+                F.col("source").alias("src"),
+                F.col("text").alias("note"),
+            )
+        ),
+        F.lit(" [eof]"),
+    )
+
+    # --- pdf token stream (rem 3) ------------------------------------
+    ls = F.split(text, "\n", -1)
+    n = F.size(ls)
+    h = F.floor((n + 1) / 2).cast("int")
+
+    def words(line):
+        return F.transform(
+            F.filter(F.split(line, r"[ \t]+"), lambda w: w != ""),
+            lambda w: F.struct(w.alias("t"), F.lit(1).alias("br")),
+        )
+
+    def shard(name, half):
+        page = F.struct(
+            F.array(
+                F.struct(
+                    F.transform(half, lambda l: F.struct(words(l).alias("words")))
+                    .alias("paragraphs")
+                )
+            ).alias("blocks")
+        )
+        return F.struct(F.lit(name).alias("name"), F.array(page).alias("pages"))
+
+    token_stream = F.struct(
+        # deliberately out of name order: the kernel must sort shards
+        F.array(
+            shard("s1", F.slice(ls, h + 1, n - h)),
+            shard("s0", F.slice(ls, F.lit(1), h)),
+        ).alias("shards")
+    )
+    # Spark's base64 emits MIME-style CRLF chunking past 76 chars;
+    # strip it — the kernel decodes with validate=True.
+    pdf_payload = F.regexp_replace(
+        F.base64(F.encode(F.concat(F.lit("%PDF-TOKENS"), F.to_json(token_stream)),
+                          "UTF-8")),
+        "[\\r\\n]", "",
+    )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(rem == 2, F.lit("tool"))
+        .when((rem == 1) | (rem == 3), F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.when(rem == 1, html_payload)
+        .when(rem == 2, tool_payload)
+        .when(rem == 3, pdf_payload)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(rem == 2, F.lit("wrap_json")).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
 def write_extracted(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(path)
+    df.write.mode(mode).format(table_format()).save(path)
 
 
 def read_audit(spark: SparkSession, path: str) -> Optional[DataFrame]:
     try:
-        return spark.read.schema(AUDIT_SCHEMA).parquet(path)
+        return (
+            spark.read.format(table_format()).schema(AUDIT_SCHEMA).load(path)
+        )
     except Exception:
         return None
 
 
 def append_audit(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    df.write.mode("append").format(table_format()).save(path)

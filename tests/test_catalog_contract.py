@@ -37,7 +37,10 @@ def test_oracle_sql_mentions_only_registered_tables():
         # CTE names and derived tables are fine; real tables must be known
         ctes = set(re.findall(r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.I))
         for t in froms:
-            assert t in tables or t in ctes or t == "unnest", (name, t)
+            # table functions (unnest/range/generate_series) are fine
+            assert t in tables or t in ctes or t in (
+                "unnest", "range", "generate_series",
+            ), (name, t)
 
 
 def test_entry_returns_expected_columns():
