@@ -78,7 +78,8 @@ def run_extract(spark: SparkSession, cfg: ExtractConfig) -> dict:
     (
         extracted.write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(cfg.output_path)
+        .format(tableio.table_format())
+        .save(cfg.output_path)
     )
 
     processed = 0
@@ -86,7 +87,7 @@ def run_extract(spark: SparkSession, cfg: ExtractConfig) -> dict:
         # Audit FROM the written files (write-then-audit): re-scan reads
         # only the 5 metric columns — column pruning makes this cheap
         # relative to re-running the kernels.
-        written = spark.read.parquet(cfg.output_path)
+        written = spark.read.format(tableio.table_format()).load(cfg.output_path)
         if done:
             written = written.filter(~F.col("bucket").isin(done))
         metrics = audit_ops.audit_metrics(written, run_id)
