@@ -24,12 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full extraction pipeline (payload dispatch →
     deterministic bucket shuffle → partition-local sort → one
     mapInArrow Arrow stage) over /root/testdata/sf0.001 documents
-    recast as transcripts. Returns per-turn extracted text + ordered
-    spans + classifier metrics."""
+    recast as multi-kind transcripts (text/html/tool/pdf payload
+    constructors — all four kernels run in the smoke). Returns
+    per-turn extracted text + ordered spans + classifier metrics."""
     from ocr_engine_spark.plans.extract_plan import build_extracted
-    from ocr_engine_spark.sources.tableio import transcripts_from_documents
+    from ocr_engine_spark.sources.tableio import (
+        transcripts_from_documents_multikind,
+    )
 
-    df = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    df = transcripts_from_documents_multikind(spark, "/root/testdata/sf0.001")
     out = build_extracted(df, num_buckets=16, salt_buckets=2)
     return out.select(
         "conv_id", "turn_idx", "kind", "extracted_text", "spans",
