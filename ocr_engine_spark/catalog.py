@@ -90,24 +90,23 @@ WITH base AS (
 parts AS (
   SELECT doc_id, t, rawt, lang, source,
          list_filter(string_split_regex(t, '[ \t\n\r]+'), x -> x <> '') AS w,
-         string_split(t, chr(10)) AS ls
+         list_filter(string_split_regex(t, '[ \t\n]+'), x -> x <> '') AS tk
   FROM base
 ),
-pdf0 AS (
-  SELECT doc_id,
-         list_transform(ls[1:(len(ls) + 1) // 2],
-           l -> array_to_string(
-                  list_filter(string_split_regex(l, '[ \t]+'), x -> x <> ''), ' ')) AS c1,
-         list_transform(ls[(len(ls) + 1) // 2 + 1 : len(ls)],
-           l -> array_to_string(
-                  list_filter(string_split_regex(l, '[ \t]+'), x -> x <> ''), ' ')) AS c2
-  FROM parts
-),
+-- pdf arm: tokens split at h = ceil(n/2) into shard pages; every 5th
+-- token carries an EOL break, so page text is 5-token lines joined \n
 pdf1 AS (
   SELECT doc_id,
-         array_to_string(list_filter(c1, x -> x <> ''), chr(10)) AS p1,
-         array_to_string(list_filter(c2, x -> x <> ''), chr(10)) AS p2
-  FROM pdf0
+         array_to_string(list_transform(
+           generate_series(1, ((len(tk) + 1) // 2 + 4) // 5),
+           g -> array_to_string(tk[(g - 1) * 5 + 1 : least(g * 5, (len(tk) + 1) // 2)], ' ')),
+           chr(10)) AS p1,
+         array_to_string(list_transform(
+           generate_series(1, (len(tk) - (len(tk) + 1) // 2 + 4) // 5),
+           g -> array_to_string(tk[(len(tk) + 1) // 2 + (g - 1) * 5 + 1
+                                   : least((len(tk) + 1) // 2 + g * 5, len(tk))], ' ')),
+           chr(10)) AS p2
+  FROM parts
 ),
 arms AS (
   SELECT parts.doc_id,

@@ -208,23 +208,28 @@ def transcripts_from_documents_multikind(spark: SparkSession, sf_dir: str) -> Da
     )
 
     # --- pdf token stream (rem 3) ------------------------------------
-    ls = F.split(text, "\n", -1)
-    n = F.size(ls)
+    # The doc's whitespace tokens split into two halves → two shards of
+    # one page each (emitted out of name order — the kernel must sort);
+    # every 5th token carries an EOL_SURE break, the rest SPACE, so the
+    # line-assembly fold produces multiple lines per page.
+    toks = F.filter(F.split(text, r"[ \t\n]+"), lambda w: w != "")
+    n = F.size(toks)
     h = F.floor((n + 1) / 2).cast("int")
 
-    def words(line):
+    def words(sl):
+        # 2-arg transform lambda: i is the 0-based element index
         return F.transform(
-            F.filter(F.split(line, r"[ \t]+"), lambda w: w != ""),
-            lambda w: F.struct(w.alias("t"), F.lit(1).alias("br")),
+            sl,
+            lambda w, i: F.struct(
+                w.alias("t"),
+                F.when((i + 1) % 5 == 0, F.lit(2)).otherwise(F.lit(1)).alias("br"),
+            ),
         )
 
-    def shard(name, half):
+    def shard(name, sl):
         page = F.struct(
             F.array(
-                F.struct(
-                    F.transform(half, lambda l: F.struct(words(l).alias("words")))
-                    .alias("paragraphs")
-                )
+                F.struct(F.array(F.struct(words(sl).alias("words"))).alias("paragraphs"))
             ).alias("blocks")
         )
         return F.struct(F.lit(name).alias("name"), F.array(page).alias("pages"))
@@ -232,8 +237,8 @@ def transcripts_from_documents_multikind(spark: SparkSession, sf_dir: str) -> Da
     token_stream = F.struct(
         # deliberately out of name order: the kernel must sort shards
         F.array(
-            shard("s1", F.slice(ls, h + 1, n - h)),
-            shard("s0", F.slice(ls, F.lit(1), h)),
+            shard("s1", F.slice(toks, h + 1, n - h)),
+            shard("s0", F.slice(toks, F.lit(1), h)),
         ).alias("shards")
     )
     # Spark's base64 emits MIME-style CRLF chunking past 76 chars;
