@@ -101,6 +101,48 @@ def test_windowed_metrics_stream(spark, stream_dirs, tmp_path):
     assert 0 < rows.h < total
 
 
+def test_stateful_conv_stats_ttl_eviction(spark, stream_dirs, tmp_path):
+    """ProcessingTimeTimeout TTL (ADVICE r1): with a tiny TTL, a
+    second trigger after the TTL elapses must emit each idle
+    conversation's final row (final=1) and remove its state — bounded
+    state on continuous streams."""
+    import time
+
+    from ocr_engine_spark.streaming.extract_stream import (
+        build_conv_stats_stream,
+    )
+
+    src = str(tmp_path / "src2")
+    write_transcripts_parquet(
+        spark, gen_transcripts(6, seed=13), src, partitions=1
+    )
+
+    stream = read_transcripts_stream(spark, src)
+    q = (
+        build_conv_stats_stream(stream, idle_ttl_ms=800)
+        .writeStream.format("memory")
+        .queryName("conv_ttl_tbl")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        finals = live = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT final, count(*) AS n FROM conv_ttl_tbl "
+                             "GROUP BY final").collect()
+            got = {r.final: r.n for r in rows}
+            finals, live = got.get(1, 0), got.get(0, 0)
+            if finals >= 6:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert live == 6      # every conversation emitted its running row
+    assert finals == 6    # ...and exactly one final row after the TTL
+
+
 def test_stateful_conv_stats_stream(spark, stream_dirs):
     """applyInPandasWithState running totals must equal the batch
     groupBy over the same input after draining the backlog."""
