@@ -93,9 +93,9 @@ parts AS (
          list_filter(string_split_regex(t, '[ \t\n]+'), x -> x <> '') AS tk
   FROM base
 ),
--- pdf arm: tokens split at h = ceil(n/2) into shard pages; every 5th
--- token carries an EOL break, so page text is 5-token lines joined \n
 pdf1 AS (
+  -- pdf arm: tokens split at h = ceil(n/2) into shard pages; every
+  -- 5th token carries an EOL break → page = 5-token lines joined \n
   SELECT doc_id,
          array_to_string(list_transform(
            generate_series(1, ((len(tk) + 1) // 2 + 4) // 5),
