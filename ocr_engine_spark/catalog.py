@@ -1246,9 +1246,8 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "winnow_fingerprints_documents",
-    oracle=f"""
+# Winnowing fingerprint rows as a reusable CTE body (k=8, window=4).
+_WINNOW_CORE_SQL = f"""
 SELECT doc_id, unnest(fps) AS fingerprint
 FROM (
   SELECT doc_id,
@@ -1260,8 +1259,12 @@ FROM (
            list_transform(generate_series(1, greatest(length(nt) - 7, 0)),
                           i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT) AS hs
     FROM (SELECT doc_id, {NORMALIZED_SQL} AS nt FROM documents)))
-ORDER BY doc_id, fingerprint
-""",
+"""
+
+
+@_register(
+    "winnow_fingerprints_documents",
+    oracle=_WINNOW_CORE_SQL + "ORDER BY doc_id, fingerprint\n",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=8 char grams, window=4
@@ -1269,6 +1272,74 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnow_fingerprints(
         _t(spark, sf_dir, "documents"), k=8, window=4
     ).orderBy("doc_id", "fingerprint")
+
+
+_WINNOW_CONTAIN_ORACLE = f"""
+WITH fp AS ({_WINNOW_CORE_SQL}),
+sets_ AS (SELECT doc_id, list(fingerprint) AS fps, count(*) AS n
+          FROM fp GROUP BY doc_id),
+stop AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+         HAVING count(*) <= 100),
+inv AS (SELECT fp.* FROM fp JOIN stop USING (fingerprint)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.fingerprint = b.fingerprint
+                       AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa.fps, sb.fps))::BIGINT AS shared,
+       round(greatest(len(list_intersect(sa.fps, sb.fps))::DOUBLE / sa.n,
+                      len(list_intersect(sa.fps, sb.fps))::DOUBLE / sb.n), 6)
+         AS containment
+FROM cand
+JOIN sets_ sa ON sa.doc_id = id_a
+JOIN sets_ sb ON sb.doc_id = id_b
+WHERE round(greatest(len(list_intersect(sa.fps, sb.fps))::DOUBLE / sa.n,
+                     len(list_intersect(sa.fps, sb.fps))::DOUBLE / sb.n), 6)
+      >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@_register("winnow_containment_documents", oracle=_WINNOW_CONTAIN_ORACLE)
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: winnowing-fingerprint containment
+    pairs (excerpt/near-copy detection even when whole-doc Jaccard is
+    low) — df-capped candidates over the already-oracled fingerprint
+    rows, exact full-set verify."""
+    return dedup.winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=8, window=4,
+        threshold=0.5, max_df=100,
+    ).orderBy("id_a", "id_b")
+
+
+_TOP_TERMS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (n.n_docs - df + 0.5) / (df + 0.5) AS raw_score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, round(raw_score, 6) AS score, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY raw_score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@_register("top_terms_documents", oracle=_TOP_TERMS_ORACLE)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by the log-free BM25-style rational
+    idf (textstats.top_terms) — tf/df/N aggregations + per-doc window,
+    scores bit-identical across engines by construction."""
+    return textstats.top_terms(
+        _t(spark, sf_dir, "documents"), top_k=3
+    ).orderBy("doc_id", "rank")
 
 
 _IVF_CENTROID_IDS = (1, 2, 3, 4)

@@ -171,6 +171,76 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify(cand, base, id_col, text_col, k_shingle, threshold)
 
 
+def winnow_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 8,
+                             window: int = 4, threshold: float = 0.5,
+                             max_df: int = 100) -> DataFrame:
+    """Sub-document duplication via winnowing-fingerprint containment
+    (the production use of winnowing, Schleimer et al. SIGMOD 2003): a
+    document whose fingerprint set is largely a subset of another's is
+    a near-copy or an excerpt even when whole-doc Jaccard is low.
+
+    Emits pairs with ``containment = max(|FA∩FB|/|FA|, |FA∩FB|/|FB|)``
+    ≥ threshold, candidates-then-verify:
+
+    - **candidates**: inverted-index self-join on fingerprint with a
+      document-frequency cap — common k-grams ("tion of ", …) produce
+      fingerprints shared by hundreds of unrelated docs (measured df up
+      to 328/500 at sf0.01), and a fingerprint with df=d alone emits
+      d·(d-1)/2 pairs, the same quadratic hazard as hot shingles
+      (PLANS.md §7); capped fingerprints carry no duplication evidence;
+    - **verify**: exact containment over the FULL fingerprint sets
+      (array_intersect of the per-doc fingerprint arrays), so the cap
+      only prunes candidates, never distorts surviving scores."""
+    from .textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, id_col, text_col, k, window)
+    sets_ = fp.groupBy(id_col).agg(
+        F.collect_list("fingerprint").alias("fps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    keep = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    inv = fp.join(keep, "fingerprint")
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("fps_a", "fps_b"))
+    out = (
+        cand.join(
+            sets_.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("fps", "fps_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sets_.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("fps", "fps_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            shared.cast("long").alias("shared"),
+            F.round(
+                F.greatest(shared / F.col("n_a"), shared / F.col("n_b")), 6
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def embedding_near_pairs(emb: DataFrame, planes, threshold: float = 0.5,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

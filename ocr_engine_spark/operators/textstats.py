@@ -62,6 +62,56 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def top_terms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", top_k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by a BM25-style rational idf score:
+
+        score = tf · (N − df + 0.5) / (df + 0.5)
+
+    deliberately log-free — every input is integer-valued, so +,−,×,÷
+    are IEEE-exact-rounded and the scores are bit-identical across
+    engines (a ln()-based idf is NOT correctly-rounded and could flip
+    the 6-dp rounding / ranking between Spark and the oracle).
+
+    Scale shape: tf is one partial-aggregating groupBy on
+    (doc, term); df aggregates the tf table on term (vocabulary-sized
+    — broadcastable at scale, AQE picks the strategy); N is a 1-row
+    broadcast; the final top-k is a row_number window per doc.
+    Ties rank deterministically by (score DESC, term ASC)."""
+    from pyspark.sql import Window
+
+    toks = spread_to_parallelism(docs).select(
+        F.col(id_col), F.explode(X.tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col), "term", "tf", "df",
+            (
+                F.col("tf")
+                * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("raw_score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("raw_score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col), "term", "tf", "df",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 8,
                         window: int = 4) -> DataFrame:

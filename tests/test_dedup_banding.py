@@ -69,3 +69,46 @@ def test_uneven_chunk_widths_cover_all_bits(spark):
     df = spark.createDataFrame(rows, "doc_id long, simhash long")
     got = simhash_near_pairs(df, max_hamming=7).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(0, 1, 1)]
+
+
+def test_winnow_containment_finds_planted_excerpt(spark):
+    """A document that is a verbatim excerpt of another must pair with
+    high containment; unrelated docs must not pair at the threshold."""
+    from ocr_engine_spark.operators.dedup import winnow_containment_pairs
+
+    big = ("the quick brown fox jumps over the lazy dog while carrying "
+           "a remarkably heavy basket of freshly picked strawberries "
+           "down the winding mountain path toward the village market")
+    excerpt = ("a remarkably heavy basket of freshly picked strawberries "
+               "down the winding mountain path")
+    other = ("completely different content about orbital mechanics and "
+             "the numerical integration of perturbed two body systems")
+    df = spark.createDataFrame(
+        [(0, big), (1, excerpt), (2, other)], "doc_id long, text string"
+    )
+    rows = winnow_containment_pairs(df, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.containment for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8
+    assert all(2 not in p for p in pairs)
+
+
+def test_top_terms_rational_idf_ranks_rare_terms(spark):
+    """A term unique to one doc must outrank a corpus-wide term with
+    equal tf; ranks are dense 1..k with deterministic tie-break."""
+    from ocr_engine_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(
+        [(0, "alpha shared shared"), (1, "beta shared shared"),
+         (2, "gamma shared shared")],
+        "doc_id long, text string",
+    )
+    out = top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df))
+    for did, uniq in ((0, "alpha"), (1, "beta"), (2, "gamma")):
+        got = sorted(by_doc[did])
+        # unique term (tf=1, df=1) scores 1*(3-1+.5)/1.5 = 1.667;
+        # shared (tf=2, df=3) scores 2*(3-3+.5)/3.5 = 0.286
+        assert got[0][1] == uniq and got[0][0] == 1
+        assert got[1][1] == "shared" and got[1][2] == 2 and got[1][3] == 3
