@@ -206,20 +206,158 @@ def q_extract_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
-@_register("extract_spans")
+# Span OFFSETS through the driver hash (VERDICT r2 item 3 — the last
+# no_oracle entry retired): the nested span structs flatten to one
+# "idx:kind:start:end" string per span, "|"-joined per turn, which IS
+# SQL-expressible. For the text arm, blocks are the blank-line-grouped
+# paragraph runs and start/end are prefix sums of block lengths (+1 per
+# "\n" joiner) — replayed below with run-start/run-end index lists and
+# an inclusive-slice block rebuild.
+_SPAN_OFFSETS_ORACLE = """
+WITH L AS (
+  SELECT doc_id,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS ls
+  FROM documents),
+runs AS (
+  SELECT doc_id, ls,
+         list_filter(generate_series(1, len(ls)),
+                     i -> ls[i] <> '' AND (i = 1 OR ls[i - 1] = '')) AS starts,
+         list_filter(generate_series(1, len(ls)),
+                     i -> ls[i] <> '' AND (i = len(ls) OR ls[i + 1] = '')) AS ends
+  FROM L),
+blocks AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(starts)),
+                        r -> array_to_string(ls[starts[r]:ends[r]], chr(10))) AS bs
+  FROM runs),
+spans AS (
+  SELECT doc_id, bs,
+         list_transform(generate_series(1, len(bs)),
+            r -> coalesce(list_sum(list_transform(bs[1:r-1], b -> length(b) + 1)), 0)) AS st
+  FROM blocks)
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT AS turn_idx,
+       len(bs)::INT AS n_spans,
+       array_to_string(list_transform(generate_series(1, len(bs)),
+         r -> (r - 1) || ':text:' || st[r] || ':' || (st[r] + length(bs[r]))), '|')
+         AS spans_flat
+FROM spans
+ORDER BY conv_id, turn_idx
+"""
+
+
+@_register("extract_spans", oracle=_SPAN_OFFSETS_ORACLE)
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span structures from the Arrow extraction stage (rows-only
-    check: nested span offsets aren't SQL-expressible; their invariants
-    are pytest-verified)."""
+    """Span kinds AND char offsets from the Arrow extraction stage,
+    hash-verified: spans flatten to "idx:kind:start:end" strings whose
+    offsets the oracle recomputes as prefix sums of paragraph-block
+    lengths. Together with flagship_extract (texts) and
+    extract_span_counts (counters) this puts the full span structure
+    under the driver gate."""
     df = transcripts_from_documents(spark, sf_dir)
     out = build_extracted(df, num_buckets=16, salt_buckets=2)
+    spans_flat = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                ":",
+                s["span_idx"].cast("string"),
+                s["kind"],
+                s["start"].cast("string"),
+                s["end"].cast("string"),
+            ),
+        ),
+        "|",
+    )
     return out.select(
         "conv_id",
         "turn_idx",
         F.size("spans").alias("n_spans"),
+        spans_flat.alias("spans_flat"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+# Failure/fallback paths through the driver gate (VERDICT r2 item 4):
+# every multikind payload is well-formed, so parse_failed/dropped only
+# ever hash-verified as constant zeros there. This arm feeds the
+# kernels DELIBERATELY MALFORMED payloads (tableio.transcripts_from_
+# documents_malformed) and the oracle asserts the deterministic
+# fallback ladder per arm: corrupt-base64 pdf → parse_failed=1 +
+# raw-text paragraph fallback; brace-bearing unparseable tool JSON →
+# parse_failed=1 + raw-text fallback; unterminated <script> html →
+# parse_failed=0 with the script interior swallowed (tolerant-parser
+# parity) and the density gate deciding the <p>.
+_MALFORMED_ORACLE = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+pay AS (
+  SELECT doc_id, t,
+         CASE doc_id % 3
+           WHEN 0 THEN 'JVBERi1UT0tF@@' || t
+           WHEN 1 THEN 'tool-output {oops ' || t || ' }'
+         END AS fb,
+         list_filter(string_split_regex(t, '[ \t\n\r]+'), x -> x <> '') AS w
+  FROM base),
+fbx AS (
+  SELECT doc_id, t, w,
+         list_transform(string_split(coalesce(fb, ''), chr(10)),
+                        x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS ls
+  FROM pay),
+arms AS (
+  SELECT doc_id, t, w, ls,
+         len(list_filter(generate_series(1, len(ls)),
+             i -> ls[i] <> '' AND (i = 1 OR ls[i - 1] = ''))) AS fb_blocks,
+         array_to_string(list_filter(ls, x -> x <> ''), chr(10)) AS fb_text,
+         CASE WHEN len(w) > 0
+                   AND len(w)::DOUBLE
+                       / greatest(ceil(length(array_to_string(w, ' ')) / 80.0), 1)
+                       >= 6.0
+              THEN 1 ELSE 0 END AS p_kept
+  FROM fbx)
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT AS turn_idx,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'tool' ELSE 'html' END AS kind,
+       CASE doc_id % 3 WHEN 2 THEN 0 ELSE 1 END::INT AS parse_failed,
+       CASE doc_id % 3
+         -- empty text → no <p> data chunk at all: the kernel discards
+         -- the empty segment before classification (kept=1, dropped=0)
+         WHEN 2 THEN CASE WHEN t = '' THEN 1 ELSE 1 + p_kept END
+         ELSE fb_blocks
+       END::BIGINT AS blocks_kept,
+       CASE doc_id % 3
+         WHEN 2 THEN CASE WHEN t = '' THEN 0 ELSE 1 - p_kept END
+         ELSE 0
+       END::BIGINT AS blocks_dropped,
+       CASE doc_id % 3
+         WHEN 2 THEN 'Doc ' || doc_id ||
+              CASE WHEN p_kept = 1 THEN chr(10) || array_to_string(w, ' ') ELSE '' END
+         ELSE fb_text
+       END AS extracted_text
+FROM arms
+ORDER BY conv_id, turn_idx
+"""
+
+
+@_register("extract_fallback_malformed", oracle=_MALFORMED_ORACLE)
+def q_extract_fallback_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline over deliberately malformed payloads — the
+    driver gate hash-verifies kind, nonzero parse_failed, fallback
+    extracted_text and the kept/dropped counters for every failure arm
+    (reference fallback-ladder parity: /root/reference/ocr_any.py:199-
+    213; kernel/dispatch.py:102-115)."""
+    from .sources.tableio import transcripts_from_documents_malformed
+
+    df = transcripts_from_documents_malformed(spark, sf_dir)
+    out = build_extracted(df, num_buckets=16, salt_buckets=2)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        "parse_failed",
         "blocks_kept",
         "blocks_dropped",
-        "parse_failed",
+        "extracted_text",
     ).orderBy("conv_id", "turn_idx")
 
 
@@ -825,9 +963,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- similarity search
 
-@_register(
-    "ann_cosine_topk",
-    oracle="""
+_ANN_BRUTE_ORACLE = """
 WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
            FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -838,8 +974,10 @@ SELECT vec_id,
 FROM embeddings e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
-""",
-)
+"""
+
+
+@_register("ann_cosine_topk", oracle=_ANN_BRUTE_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -913,6 +1051,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.filter(F.col("bucket") == qb).select("vec_id"), "vec_id"
     )
     return similarity.cosine_topk(in_bucket, qvec, k=10)
+
+
+# recall@k of the LSH scale path vs the (oracled) brute-force baseline
+# (VERDICT r2 item 5): the quantity a user tuning num_planes hits
+# first. Both sides are existing oracled CTEs; recall = |lsh ∩ brute|/k.
+def _ann_lsh_recall_oracle(num_planes: int = 8, dims: int = 64, k: int = 10) -> str:
+    return f"""
+WITH brute AS (SELECT vec_id FROM ({_ANN_BRUTE_ORACLE}) b),
+lsh AS (SELECT vec_id FROM ({_ann_lsh_topk_oracle(num_planes, dims, k)}) l)
+SELECT {k}::INT AS k,
+       (SELECT count(*) FROM lsh)::BIGINT AS n_retrieved,
+       (SELECT count(*) FROM lsh JOIN brute USING (vec_id))::BIGINT AS hits,
+       round((SELECT count(*) FROM lsh JOIN brute USING (vec_id)) / {k}.0, 6) AS recall
+"""
+
+
+@_register("ann_lsh_recall", oracle=_ann_lsh_recall_oracle(8, 64, 10))
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the single-bucket LSH path against brute-force
+    cosine top-10 — quantifies what the zero-shuffle bucket restriction
+    costs in recall (PLANS.md §9 documents the planes-vs-recall
+    trade)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.plane_weight_lists(8, 64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    qb = similarity.bucket_of(qvec, planes)
+    buckets = similarity.lsh_buckets_literal(emb, planes)
+    in_bucket = emb.join(
+        buckets.filter(F.col("bucket") == qb).select("vec_id"), "vec_id"
+    )
+    lsh = similarity.cosine_topk(in_bucket, qvec, k=10).select("vec_id")
+    n_retrieved = lsh.agg(F.count(F.lit(1)).alias("n_retrieved"))
+    hits = lsh.join(brute, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+    return n_retrieved.crossJoin(hits).select(
+        F.lit(10).alias("k"),
+        "n_retrieved",
+        "hits",
+        F.round(F.col("hits") / 10.0, 6).alias("recall"),
+    )
 
 
 @_register(
@@ -1370,7 +1548,11 @@ def q_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assignments(emb, cents).orderBy("vec_id")
 
 
-_IVF_TOPK_ORACLE = """
+def _ivf_topk_oracle(nprobe: int = 2, k: int = 10) -> str:
+    return _IVF_TOPK_ORACLE_TMPL.format(nprobe=nprobe, k=k)
+
+
+_IVF_TOPK_ORACLE_TMPL = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
            FROM embeddings),
 c1 AS (SELECT e FROM v WHERE vec_id = 1),
@@ -1394,7 +1576,7 @@ qd AS (
 probes AS (
   SELECT i FROM qd, (SELECT unnest(generate_series(1, 4)) AS i)
   ORDER BY qd.dots[i] DESC, i
-  LIMIT 2
+  LIMIT {nprobe}
 )
 SELECT v.vec_id,
        round(list_dot_product(v.e, q.qe)
@@ -1403,11 +1585,11 @@ SELECT v.vec_id,
 FROM v JOIN assign ON v.vec_id = assign.vec_id, q
 WHERE assign.centroid IN (SELECT i FROM probes)
 ORDER BY cosine DESC, v.vec_id
-LIMIT 10
+LIMIT {k}
 """
 
 
-@_register("ann_ivf_topk", oracle=_IVF_TOPK_ORACLE)
+@_register("ann_ivf_topk", oracle=_ivf_topk_oracle(nprobe=2, k=10))
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: probe the top-2 inverted lists for the query vector.
     The probe-list ranking is driver-side (centroids are a tiny
@@ -1418,6 +1600,149 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+
+
+def _ivf_recall_oracle(k: int = 10) -> str:
+    branches = []
+    for np_ in (1, 2, 3, 4):
+        branches.append(
+            f"  SELECT {np_}::INT AS nprobe,\n"
+            f"         (SELECT count(*) FROM ({_ivf_topk_oracle(np_, k)}) i\n"
+            f"          JOIN ({_ANN_BRUTE_ORACLE}) b USING (vec_id))::BIGINT AS hits"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return (
+        "SELECT nprobe, hits, round(hits / "
+        f"{k}.0, 6) AS recall\nFROM (\n{body}\n)\nORDER BY nprobe\n"
+    )
+
+
+@_register("ann_ivf_recall", oracle=_ivf_recall_oracle(10))
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF search vs brute-force, swept over nprobe 1..4
+    (VERDICT r2 item 5): nprobe=4 probes every inverted list and must
+    hit recall 1.0; the sweep quantifies the probe-count/recall trade
+    (PLANS.md §9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    parts = []
+    for np_ in (1, 2, 3, 4):
+        topk = similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=np_).select(
+            "vec_id"
+        )
+        parts.append(
+            topk.join(brute, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(np_).alias("nprobe"), "hits")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "nprobe", "hits", F.round(F.col("hits") / 10.0, 6).alias("recall")
+    ).orderBy("nprobe")
+
+
+# ------------------------------------------- streaming metrics parity
+
+# Event-time windowed streaming metrics under the driver gate (VERDICT
+# r2 item 6/7): the SAME build_metrics_stream code path tests use, run
+# with availableNow over a materialized multikind transcripts dir, its
+# windows replayed in plain SQL. Window labels are emitted as MINUTES
+# SINCE THE CORPUS EPOCH (unix_timestamp differences) so the hash is
+# timezone-independent on both engines. num_buckets=1 because the
+# bucket key is xxhash64 (not replayable in DuckDB); the bucketed
+# variant stays pytest-covered (tests/test_streaming.py).
+_STREAM_METRICS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         (doc_id % 120) // 10 * 10 AS wmin,
+         CASE doc_id % 4
+           WHEN 1 THEN 'html'
+           WHEN 2 THEN 'tool'
+           WHEN 3 THEN 'pdf'
+           ELSE CASE WHEN text IS NULL OR text = '' THEN 'text'
+                     WHEN text LIKE 'JVBERi1UT0tF%' THEN 'pdf'
+                     WHEN regexp_matches(text, '^[ \t\r\n\x0b\x0c]*<') THEN 'html'
+                     ELSE 'text' END
+         END AS kind
+  FROM documents)
+SELECT wmin::INT AS window_start_min,
+       (wmin + 10)::INT AS window_end_min,
+       0::INT AS bucket,
+       count(*)::BIGINT AS turns_in,
+       sum(CASE WHEN kind = 'html' THEN 1 ELSE 0 END)::BIGINT AS html_turns,
+       sum(CASE WHEN kind = 'pdf' THEN 1 ELSE 0 END)::BIGINT AS pdf_turns,
+       sum(CASE WHEN kind = 'tool' THEN 1 ELSE 0 END)::BIGINT AS tool_turns
+FROM base
+GROUP BY wmin
+ORDER BY window_start_min
+"""
+
+
+@_register("streaming_windowed_metrics", oracle=_STREAM_METRICS_ORACLE)
+def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_metrics_stream (the streaming audit twin) end-to-end under
+    the driver hash: multikind transcripts are materialized with
+    deterministic event times (doc_id % 120 minutes past the corpus
+    epoch), streamed with availableNow through the watermarked
+    10-minute windowed aggregation, and collected from a memory sink.
+    Complete output mode: with availableNow the final watermark never
+    passes the last windows, so append mode would withhold them."""
+    import tempfile
+    import uuid
+
+    from .streaming.extract_stream import (
+        build_metrics_stream,
+        read_transcripts_stream,
+    )
+
+    base = transcripts_from_documents_multikind(spark, sf_dir)
+    epoch = "timestamp'2024-01-01 00:00:00'"
+    src = base.withColumn(
+        "ts",
+        F.expr(
+            f"{epoch} + make_interval(0, 0, 0, 0, 0, cast(conv_id AS int) % 120, 0)"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ocr-stream-metrics-")
+    in_dir = os.path.join(tmp, "in")
+    src.write.mode("overwrite").parquet(in_dir)
+
+    stream = read_transcripts_stream(spark, in_dir)
+    metrics = build_metrics_stream(
+        stream, num_buckets=1, salt_buckets=1,
+        window_duration="10 minutes", watermark="30 minutes",
+    )
+    qname = "stream_metrics_" + uuid.uuid4().hex[:8]
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    mins = lambda c: (  # noqa: E731 — minutes since the corpus epoch
+        (F.unix_timestamp(c) - F.unix_timestamp(F.expr(epoch))) / 60
+    ).cast("int")
+    return (
+        spark.table(qname)
+        .select(
+            mins(F.col("window_start")).alias("window_start_min"),
+            mins(F.col("window_end")).alias("window_end_min"),
+            F.col("bucket"),
+            "turns_in",
+            "html_turns",
+            "pdf_turns",
+            "tool_turns",
+        )
+        .orderBy("window_start_min")
+    )
 
 
 # ---------------------------------------------------------------- API

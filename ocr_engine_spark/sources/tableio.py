@@ -266,6 +266,59 @@ def transcripts_from_documents_multikind(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+def transcripts_from_documents_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recast ``documents`` as transcripts whose payloads are
+    *deliberately malformed*, so the driver gate hash-verifies the
+    kernels' failure/fallback paths — the reference's retry-ladder
+    semantics (/root/reference/ocr_any.py:199-213; our deterministic
+    analogue kernel/dispatch.py:102-115) — not just the happy paths:
+
+    - rem 0 → a truncated/corrupt base64 PDF payload: the magic prefix
+      followed by ``@@`` (not in the base64 alphabet) + the doc text.
+      ``detect_kind`` still says pdf (magic prefix), decode fails →
+      ``parse_failed = 1`` and the raw-text paragraph fallback;
+    - rem 1 → a tool turn with braces but unparseable JSON
+      (``{oops ...}``): the first-JSON-object probe fails with braces
+      present → ``parse_failed = 1`` and the raw-text fallback;
+    - rem 2 → HTML with an *unterminated* ``<script>``: the tolerant
+      parser consumes the open script element's interior as opaque
+      rawtext to EOF (stdlib-parser parity), so ``parse_failed = 0``
+      by design and the script source never leaks into the blocks.
+
+    Like the multikind recast, every constructor is a native Catalyst
+    expression; catalog's oracle replays the fallback arithmetic."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    rem = F.col("doc_id") % 3
+
+    pdf_bad = F.concat(F.lit("JVBERi1UT0tF@@"), text)
+    tool_bad = F.concat(F.lit("tool-output {oops "), text, F.lit(" }"))
+    esc = F.replace(
+        F.replace(
+            F.replace(text, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html_bad = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<p>"), esc, F.lit("</p>"),
+        F.lit('<script>var tag = "<p>never extracted</p>";'),
+    )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(rem == 1, F.lit("tool")).otherwise(F.lit("assistant")).alias("role"),
+        F.when(rem == 0, pdf_bad)
+        .when(rem == 1, tool_bad)
+        .otherwise(html_bad)
+        .alias("text"),
+        F.when(rem == 1, F.lit("wrap_json")).cast("string").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
 def write_extracted(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).format(table_format()).save(path)
 
