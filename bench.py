@@ -31,9 +31,21 @@ Three parts:
    the two Spark levels). A pass is **window-valid** iff both probes
    land inside ``SANE_HW`` = [0.84, 1.06] (quiet-window measurements
    span 0.86–0.98 on this VM; 3.765- or 0.5-style readings mean a
-   host CPU-steal window crossed the pass) AND the measured efficiency
-   is in (0, 1.05] (super-unit 4→16 scaling is physically
-   implausible — a low level poisoned by steal, not a fast engine).
+   host CPU-steal window crossed the pass), AND each level has at
+   least MIN_CLEAN_RUNS runs whose *measured host CPU-steal* was ≤
+   5% — this guest exposes steal in /proc/stat, and run time tracks
+   it directly (8.2s at 6% steal vs 9.6s at 14% in back-to-back
+   identical runs), so each timed run records the steal it suffered
+   and level medians are computed over CLEAN runs only (selection on
+   an independent contamination covariate, never on the timing
+   itself, applied identically at both levels; up to 2 extra runs
+   top up a level short on clean runs), AND each level's clean-run
+   spread (median/min) is ≤ 1.2 (residual contention the steal
+   counter didn't see; quiet median/min is 1.0-1.1, and median/min
+   rather than max/min keeps one slow outlier from voiding a
+   trustworthy median), AND the measured efficiency is in (0, 1.05]
+   (super-unit 4→16 scaling is physically implausible — a low level
+   poisoned by steal, not a fast engine).
    If the first pass is not window-valid, or is valid but below the
    0.8 gate (could be real — measure again to distinguish), ONE
    bounded retry runs if wall-clock budget allows. The recorded
@@ -66,13 +78,17 @@ Three parts:
    median regresses >1.5× vs BENCH_r02 flagged.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_CONVS (default 220000 ≈ 1.25M turns incl. the mega tail),
+BENCH_CONVS (default 100000 ≈ 0.62M turns incl. the mega tail — short
+runs × more of them beats long runs × few on this noise profile, and
+the bench MUST finish inside the driver's ~10-min kill even with
+steal-induced top-up runs),
 BENCH_SCALING=0 / BENCH_SKEW=0 / BENCH_HEADLINE=0 to skip parts,
-BENCH_RUNS (timed runs per level, default 3 — same at both levels),
+BENCH_RUNS (timed runs per level, default 3 — same at both levels,
+steal-contaminated levels top up with ≤2 extra runs),
 BENCH_QUERY_RUNS (default 3, degrades 2/1 on budget pressure),
 BENCH_LO_CORES / BENCH_HI_CORES (default 4 / 16), BENCH_RETRY=0 to
 disable the bounded retry, BENCH_BUDGET_S (wall-clock budget guard,
-default 520 — the driver kills ~10 min).
+default 500 — the driver kills ~10 min).
 """
 
 from __future__ import annotations
@@ -89,12 +105,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_CONVS", "220000"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "100000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 QUERY_RUNS = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
 LO_CORES = int(os.environ.get("BENCH_LO_CORES", "4"))
 HI_CORES = min(int(os.environ.get("BENCH_HI_CORES", "16")), CPUS)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 SEED = 42
 MEGA, MEGA_TURNS = 3, 50000  # forced skew: salting must earn its keep
 NUM_BUCKETS, SALT_BUCKETS = 256, 8
@@ -103,6 +119,7 @@ NUM_BUCKETS, SALT_BUCKETS = 256, 8
 # 0.84 allows jitter below the observed floor, 1.06 above parity.
 SANE_HW = (0.84, 1.06)
 MAX_EFF = 1.05  # super-unit lo→hi scaling = a poisoned lo level
+MAX_RUN_SPREAD = 1.2  # within-level median/min run ratio (quiet ~1.0-1.1)
 CACHE = os.path.join(REPO, ".bench", f"transcripts-v1-{N_CONVS}")
 
 T_START = time.time()
@@ -150,6 +167,17 @@ def _local_bench_extras() -> dict:
     # real cluster keeps the lz4 default.
     extras["spark.shuffle.compress"] = "false"
     extras["spark.shuffle.spill.compress"] = "false"
+    # One shared JVM hosts every task slot in local mode, and on a
+    # 32-core box its service pools default machine-sized (G1 parallel
+    # GC ~23 threads, JIT compiler threads etc.) — their bursts
+    # oversubscribe the cores the task slots are using. A real
+    # cluster's 4-8-core executor JVMs size these pools small by
+    # default; cap them to match (IDENTICAL at both scaling levels).
+    # Measured at local[16]: 7.8-8.3s runs → 5.9-7.0s, steal 5-8% →
+    # ~0%, scaling eff 0.68 → 0.87-0.92.
+    extras["spark.driver.extraJavaOptions"] = (
+        "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=4"
+    )
     return extras
 
 
@@ -207,12 +235,34 @@ def _ensure_corpus() -> int:
     return n
 
 
-def _time_extract(master: str, cores: int, rows: int, runs: int) -> dict:
+def _steal_counters() -> tuple:
+    """(total, steal) jiffies from /proc/stat — this guest exposes
+    host CPU-steal time, the direct covariate of every slow-run
+    anomaly measured on this VM (run time tracks steal%: 8.2s at 6%
+    steal → 9.6s at 14% in back-to-back identical runs)."""
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(v), v[7] if len(v) > 7 else 0
+
+
+STEAL_CLEAN_PCT = 5.0  # runs above this measured steal% are contaminated
+MIN_CLEAN_RUNS = 2
+MAX_EXTRA_RUNS = 2
+
+
+def _time_extract(master: str, cores: int, rows: int, runs: int,
+                  max_extra: int = MAX_EXTRA_RUNS) -> dict:
     """Steady-state timing of the full extraction job at one
-    parallelism level: one untimed warm run of the FULL job (spawns
+    parallelism level: untimed warm runs of the FULL job (spawns
     workers, JITs the whole plan), then ``runs`` timed runs with forced
-    full GCs between them (see module docstring). Median is the
-    headline number; best and the full list are reported for spread."""
+    full GCs between them (see module docstring).
+
+    Every timed run measures the host CPU-steal% it suffered
+    (/proc/stat). The level's headline is the median over CLEAN runs
+    (steal ≤ STEAL_CLEAN_PCT) — selection on an independent
+    contamination covariate, never on the timing itself, applied
+    identically at both levels. If fewer than MIN_CLEAN_RUNS are
+    clean, up to MAX_EXTRA_RUNS more are attempted; if still short,
+    the median over all runs is used and flagged."""
     from ocr_engine_spark.plans.extract_plan import build_extracted
     from ocr_engine_spark.sources import tableio
 
@@ -220,27 +270,44 @@ def _time_extract(master: str, cores: int, rows: int, runs: int) -> dict:
     try:
         df = tableio.read_transcripts(spark, CACHE)
         out = build_extracted(df, num_buckets=NUM_BUCKETS, salt_buckets=SALT_BUCKETS)
-        # warmup: full untimed run(s) of the exact job — python workers
-        # + imports + JIT. A second warm pass measurably stabilizes
-        # short runs; warm twice only where runs are cheap.
+        # warmup: full untimed runs of the exact job — python workers
+        # + imports + JIT. At high parallelism timed sequences were
+        # still DESCENDING after two warms (measured 15.0 → 11.7 →
+        # 10.8 at 16 cores), i.e. JIT/GC convergence takes ~4-5 full
+        # executions there; warm three times where runs are cheap.
         _noop(out)
         if cores >= 8:
             _noop(out)
-        times = []
-        for _ in range(runs):
+            _noop(out)
+        times: list = []  # (sec, steal_pct)
+        budget_runs = runs + max_extra
+        while len(times) < runs or (
+            sum(1 for _, s in times if s <= STEAL_CLEAN_PCT) < MIN_CLEAN_RUNS
+            and len(times) < budget_runs
+        ):
             _double_gc(spark)
+            j0, s0 = _steal_counters()
             t0 = time.time()
             _noop(out)
-            times.append(time.time() - t0)
-        med = statistics.median(times)
+            dt = time.time() - t0
+            j1, s1 = _steal_counters()
+            steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
+            times.append((dt, round(steal, 1)))
     finally:
         spark.stop()
+    clean = [t for t, s in times if s <= STEAL_CLEAN_PCT]
+    contaminated = len(clean) < MIN_CLEAN_RUNS
+    basis = clean if not contaminated else [t for t, _ in times]
+    med = statistics.median(basis)
     return {
         "sec": round(med, 3),
-        "best_sec": round(min(times), 3),
-        "all_runs_sec": [round(t, 2) for t in times],
+        "best_sec": round(min(t for t, _ in times), 3),
+        "all_runs_sec": [round(t, 2) for t, _ in times],
+        "run_steal_pct": [s for _, s in times],
+        "clean_runs": len(clean),
+        "steal_contaminated": contaminated,
         "turns_per_sec": round(rows / med, 1),
-        "best_turns_per_sec": round(rows / min(times), 1),
+        "best_turns_per_sec": round(rows / min(t for t, _ in times), 1),
         "cores": cores,
     }
 
@@ -305,19 +372,47 @@ def _subprocess_json(args: list) -> dict:
 def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     """One bracketed scaling pass: hw probe → lo level → hi level →
     hw probe, each Spark level in its own subprocess. Window-valid iff
-    both probes are sane and the efficiency is physically plausible."""
+    both probes are sane, both levels have enough steal-clean runs,
+    and the efficiency is physically plausible. Extra top-up runs are
+    granted only while the global wall-clock budget allows — a killed
+    bench records NO artifact, which is strictly worse than a flagged
+    one."""
+    def extra_allowance() -> int:
+        return MAX_EXTRA_RUNS if _elapsed() < BUDGET_S * 0.55 else 0
+
     hw_pre = _hardware_ceiling(LO_CORES, HI_CORES)
     lo = _subprocess_json(
-        ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows), str(runs)]
+        ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows),
+         str(runs), str(extra_allowance())]
     )
     hi = _subprocess_json(
-        ["--time-level", f"local[{HI_CORES}]", str(HI_CORES), str(rows), str(runs)]
+        ["--time-level", f"local[{HI_CORES}]", str(HI_CORES), str(rows),
+         str(runs), str(extra_allowance())]
     )
     hw_post = _hardware_ceiling(LO_CORES, HI_CORES)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (HI_CORES / LO_CORES)
     hw_ok = all(
         SANE_HW[0] <= p["efficiency"] <= SANE_HW[1] for p in (hw_pre, hw_post)
     )
+    steal_ok = not (lo["steal_contaminated"] or hi["steal_contaminated"])
+    # Residual-spread gate over the CLEAN runs, MEDIAN/MIN (not
+    # max/min): one slow outlier among 4 runs leaves the median
+    # trustworthy and should not void the attempt, but a clean-run
+    # median pulled >20% above the fastest run means something the
+    # steal counter didn't see contaminated the middle of the
+    # distribution (quiet-window median/min is 1.0-1.1).
+    def _clean(level):
+        runs_ = [
+            t for t, s in zip(level["all_runs_sec"], level["run_steal_pct"])
+            if s <= STEAL_CLEAN_PCT
+        ]
+        return runs_ or level["all_runs_sec"]
+
+    spread = max(
+        statistics.median(_clean(x)) / max(min(_clean(x)), 1e-9)
+        for x in (lo, hi)
+    )
+    spread_ok = spread <= MAX_RUN_SPREAD
     return {
         "attempt": idx,
         "runs_per_level": runs,
@@ -327,15 +422,31 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
         "hw_probe_after": hw_post,
         "efficiency": round(eff, 3),
         "hw_window_sane": hw_ok,
-        "window_valid": bool(hw_ok and 0 < eff <= MAX_EFF),
+        "steal_clean": steal_ok,
+        "run_spread": round(spread, 2),
+        "run_spread_sane": spread_ok,
+        "window_valid": bool(
+            hw_ok and steal_ok and spread_ok and 0 < eff <= MAX_EFF
+        ),
     }
 
 
 def _pooled_efficiency(attempts: list, rows: int) -> dict:
-    """Headline from the MEDIAN over all per-level runs pooled across
-    the given attempts (ADVICE r2: never promote max-of-attempts)."""
-    lo_all = [t for a in attempts for t in a[f"local{LO_CORES}"]["all_runs_sec"]]
-    hi_all = [t for a in attempts for t in a[f"local{HI_CORES}"]["all_runs_sec"]]
+    """Headline from the MEDIAN over per-level CLEAN (steal-filtered)
+    runs pooled across the given attempts (ADVICE r2: never promote
+    max-of-attempts; falls back to all runs when nothing is clean)."""
+
+    def pool(key):
+        clean = [
+            t
+            for a in attempts
+            for t, s in zip(a[key]["all_runs_sec"], a[key]["run_steal_pct"])
+            if s <= STEAL_CLEAN_PCT
+        ]
+        return clean or [t for a in attempts for t in a[key]["all_runs_sec"]]
+
+    lo_all = pool(f"local{LO_CORES}")
+    hi_all = pool(f"local{HI_CORES}")
     lo_med, hi_med = statistics.median(lo_all), statistics.median(hi_all)
     eff = (lo_med / hi_med) / (HI_CORES / LO_CORES)
     return {
@@ -344,7 +455,7 @@ def _pooled_efficiency(attempts: list, rows: int) -> dict:
         "lo_turns_per_sec": round(rows / lo_med, 1),
         "hi_turns_per_sec": round(rows / hi_med, 1),
         "efficiency": round(eff, 3),
-        "n_runs_pooled_per_level": len(lo_all),
+        "n_clean_runs_pooled": {"lo": len(lo_all), "hi": len(hi_all)},
     }
 
 
@@ -367,7 +478,10 @@ def _skew_evidence(rows: int) -> dict:
     spark = _session(
         f"local[{HI_CORES}]", shuffle_partitions=max(64, HI_CORES * 2),
         extra={"spark.eventLog.enabled": "true",
-               "spark.eventLog.dir": "file://" + evdir},
+               "spark.eventLog.dir": "file://" + evdir,
+               # Spark 4 v2 event logs zstd-compress by default; the
+               # parser below reads plain JSONL
+               "spark.eventLog.compress": "false"},
     )
     wall = {}
     try:
@@ -383,15 +497,23 @@ def _skew_evidence(rows: int) -> dict:
         spark.stop()
 
     stages: dict = {}
-    logs = [f for f in glob.glob(os.path.join(evdir, "*"))
-            if not f.endswith(".inprogress")]
-    for line in open(logs[0]):
-        if '"SparkListenerTaskEnd"' not in line:
-            continue
-        ev = json.loads(line)
-        ms = (ev.get("Task Metrics") or {}).get("Executor Run Time")
-        if ms is not None:
-            stages.setdefault(ev["Stage ID"], []).append(ms)
+    # Spark 4 event log v2 is a DIRECTORY per app containing
+    # events_* part files (+ an appstatus_* marker); handle both
+    # layouts and concatenate parts in order.
+    logs = []
+    for p in sorted(glob.glob(os.path.join(evdir, "*"))):
+        if os.path.isdir(p):
+            logs.extend(sorted(glob.glob(os.path.join(p, "events_*"))))
+        elif not p.endswith(".inprogress"):
+            logs.append(p)
+    for logf in logs:
+        for line in open(logf):
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            ev = json.loads(line)
+            ms = (ev.get("Task Metrics") or {}).get("Executor Run Time")
+            if ms is not None:
+                stages.setdefault(ev["Stage ID"], []).append(ms)
     # the extract stage has exactly NUM_BUCKETS tasks; submission order
     # of those stages is [warm(salt8), salt1, salt8]
     big = [sid for sid in sorted(stages) if len(stages[sid]) == NUM_BUCKETS]
@@ -429,7 +551,8 @@ def main() -> int:
         master, cores, rows, runs = (
             sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5])
         )
-        print(json.dumps(_time_extract(master, cores, rows, runs)))
+        extra = int(sys.argv[6]) if len(sys.argv) > 6 else MAX_EXTRA_RUNS
+        print(json.dumps(_time_extract(master, cores, rows, runs, extra)))
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         print(json.dumps(_skew_evidence(int(sys.argv[2]))))
@@ -439,21 +562,24 @@ def main() -> int:
 
     result: dict = {"sf": 0.1, "unit": "sec"}
     warnings: list = []
+    phases: dict = {}
 
     # ---- part 1: scaling evidence ------------------------------------
     if os.environ.get("BENCH_SCALING", "1") != "0":
         rows = _ensure_corpus()
+        phases["corpus"] = round(_elapsed(), 1)
         attempts = [_scaling_attempt(RUNS, rows, 1)]
         a1 = attempts[0]
         need_retry = not (a1["window_valid"] and a1["efficiency"] >= 0.8)
         if (
             need_retry
             and os.environ.get("BENCH_RETRY", "1") != "0"
-            and _elapsed() < BUDGET_S * 0.6
+            and _elapsed() < BUDGET_S * 0.5
         ):
             attempts.append(_scaling_attempt(2, rows, 2))
         elif need_retry:
             warnings.append("retry_skipped: wall-clock budget exhausted")
+        phases["scaling_done_at"] = round(_elapsed(), 1)
 
         valid = [a for a in attempts if a["window_valid"]]
         pool = valid if valid else attempts
@@ -496,7 +622,7 @@ def main() -> int:
 
         # ---- part 2: skew/straggler evidence -------------------------
         if os.environ.get("BENCH_SKEW", "1") != "0":
-            if _elapsed() < BUDGET_S * 0.85:
+            if _elapsed() < BUDGET_S * 0.68:
                 try:
                     result["extract"]["skew_evidence"] = _subprocess_json(
                         ["--skew", str(rows)]
@@ -505,6 +631,7 @@ def main() -> int:
                     warnings.append(f"skew_evidence failed: {e}")
             else:
                 warnings.append("skew_evidence skipped: wall-clock budget")
+        phases["skew_done_at"] = round(_elapsed(), 1)
 
     # ---- part 3: headline catalog queries at SF_DIR ------------------
     if os.environ.get("BENCH_HEADLINE", "1") == "0":
@@ -519,9 +646,9 @@ def main() -> int:
     # retry) ate the wall-clock budget, degrade to 2/1 rounds instead
     # of risking the driver's ~10-min kill mid-headline.
     query_runs = QUERY_RUNS
-    if _elapsed() > BUDGET_S:
+    if _elapsed() > BUDGET_S * 0.8:
         query_runs = 1
-    elif _elapsed() > BUDGET_S * 0.8 and query_runs > 2:
+    elif _elapsed() > BUDGET_S * 0.68 and query_runs > 2:
         query_runs = 2
     if query_runs != QUERY_RUNS:
         warnings.append(
@@ -562,6 +689,9 @@ def main() -> int:
         result["query_regressions_vs_r2"] = regressions
     result["metric"] = "headline_queries_total"
     result["value"] = round(sum(qtimes.values()), 3)
+    phases["total"] = round(_elapsed(), 1)
+    result["phase_elapsed_sec"] = phases
+    result["headline_rounds"] = query_runs
     if warnings:
         result["warnings"] = warnings
     print(json.dumps(result))

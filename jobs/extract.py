@@ -19,7 +19,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO)
+# Python *workers* resolve the package via PYTHONPATH, not the
+# driver's sys.path: under spark-submit --py-files this is handled by
+# Spark; under plain `python jobs/extract.py` from another cwd it is
+# not — export it before the JVM forks workers.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from ocr_engine_spark.plans.extract_plan import ExtractConfig, run_extract  # noqa: E402
 from ocr_engine_spark.session import build_session  # noqa: E402

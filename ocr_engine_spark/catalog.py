@@ -1093,6 +1093,99 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_topk_oracle(num_planes: int = 8, dims: int = 64,
+                                radius: int = 1, k: int = 10) -> str:
+    """Multi-probe LSH top-k: the single-bucket oracle widened to every
+    bucket within hamming ``radius`` of the query's (probe set = qb XOR
+    each popcount≤radius mask)."""
+    planes = similarity.plane_weight_lists(num_planes, dims)
+    fold = _lsh_fold_sql(planes, "e")
+    masks = similarity.multiprobe_masks(num_planes, radius)
+    mask_vals = ", ".join(f"({m})" for m in masks)
+    cos = (
+        "round(list_dot_product(v.e, q.qe)"
+        " / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+b AS (SELECT vec_id, ({fold})::BIGINT AS bucket FROM v),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+probe AS (SELECT xor(qb.bucket, t.m) AS bucket FROM qb, (VALUES {mask_vals}) t(m))
+SELECT v.vec_id, {cos} AS cosine
+FROM v JOIN b ON v.vec_id = b.vec_id, q
+WHERE b.bucket IN (SELECT bucket FROM probe)
+ORDER BY cosine DESC, v.vec_id
+LIMIT {k}
+"""
+
+
+@_register("ann_lsh_multiprobe_topk", oracle=_lsh_multiprobe_topk_oracle(8, 64, 1, 10))
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): top-10 within the
+    query's bucket plus the 8 hamming-1-adjacent buckets — the
+    standard recall fix that keeps the zero-shuffle literal-IN scan
+    prune (9/256 of the corpus at 8 planes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.plane_weight_lists(8, 64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.lsh_multiprobe_topk(emb, planes, qvec, k=10, radius=1)
+
+
+def _lsh_multiprobe_recall_oracle(num_planes: int = 8, dims: int = 64,
+                                  k: int = 10) -> str:
+    branches = []
+    for radius in (0, 1, 2):
+        n_buckets = len(similarity.multiprobe_masks(num_planes, radius))
+        mp = _lsh_multiprobe_topk_oracle(num_planes, dims, radius, k)
+        branches.append(
+            f"  SELECT {radius}::INT AS radius, {n_buckets}::INT AS n_buckets,\n"
+            f"         (SELECT count(*) FROM ({mp}) x)::BIGINT AS n_retrieved,\n"
+            f"         (SELECT count(*) FROM ({mp}) x\n"
+            f"          JOIN ({_ANN_BRUTE_ORACLE}) b USING (vec_id))::BIGINT AS hits"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return (
+        "SELECT radius, n_buckets, n_retrieved, hits, round(hits / "
+        f"{k}.0, 6) AS recall\nFROM (\n{body}\n)\nORDER BY radius\n"
+    )
+
+
+@_register("ann_lsh_multiprobe_recall", oracle=_lsh_multiprobe_recall_oracle(8, 64, 10))
+def q_ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of multi-probe LSH vs brute force, swept over probe
+    radius 0 (single bucket) / 1 (9 buckets) / 2 (37 buckets) — the
+    recall-vs-scan-fraction trade a user tunes (PLANS.md §9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.plane_weight_lists(8, 64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    parts = []
+    for radius in (0, 1, 2):
+        topk = similarity.lsh_multiprobe_topk(
+            emb, planes, qvec, k=10, radius=radius
+        ).select("vec_id")
+        n_buckets = len(similarity.multiprobe_masks(8, radius))
+        retrieved = topk.agg(F.count(F.lit(1)).alias("n_retrieved"))
+        hits = topk.join(brute, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        parts.append(
+            retrieved.crossJoin(hits).select(
+                F.lit(radius).alias("radius"),
+                F.lit(n_buckets).alias("n_buckets"),
+                "n_retrieved",
+                "hits",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "radius", "n_buckets", "n_retrieved", "hits",
+        F.round(F.col("hits") / 10.0, 6).alias("recall"),
+    ).orderBy("radius")
+
+
 @_register(
     "a6_prompt_assembly_documents",
     oracle="""

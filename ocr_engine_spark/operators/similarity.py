@@ -158,6 +158,43 @@ def lsh_topk(emb: DataFrame, weights: DataFrame, query: Sequence[float],
     return cosine_topk(in_bucket, query, k, id_col, vec_col)
 
 
+def multiprobe_masks(num_planes: int, radius: int = 1) -> List[int]:
+    """All sign-bit flip masks with popcount ≤ ``radius`` over
+    ``num_planes`` bits, sorted. Multi-probe LSH (Lv et al., VLDB'07
+    "Multi-Probe LSH"): instead of re-hashing with more tables, probe
+    the buckets *adjacent* to the query's — a vector whose cosine is
+    high but that lands across one hyperplane differs in exactly one
+    sign bit. |masks| = Σ_{r≤radius} C(num_planes, r)."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(m)
+    return sorted(out)
+
+
+def lsh_multiprobe_topk(emb: DataFrame, planes: List[List[int]],
+                        query: Sequence[float], k: int = 10, radius: int = 1,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN with multi-probe LSH: cosine top-k within the query's bucket
+    plus every bucket within hamming distance ``radius`` of it. Still
+    zero-shuffle up to the final TakeOrdered: the probe set is a
+    driver-computed literal IN-list over the projected bucket column,
+    so the scan prunes to Σ C(planes, r)/2^planes of the corpus while
+    recovering the recall the single-bucket path gives up."""
+    qb = bucket_of(query, planes)
+    probe = [qb ^ m for m in multiprobe_masks(len(planes), radius)]
+    buckets = lsh_buckets_literal(emb, planes, id_col, vec_col)
+    cand = emb.join(
+        buckets.filter(F.col("bucket").isin(probe)).select(id_col), id_col
+    )
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def ivf_assign_col(centroids: List[List[float]], vec_col: str = "embedding") -> F.Column:
     """IVF list assignment as a column: 1-based index of the centroid
     with the max dot product (ties → lowest index). Centroids are
