@@ -1838,6 +1838,242 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_CONV_STATS_ORACLE = """
+SELECT cast(doc_id AS varchar) AS conv_id,
+       len(ls)::BIGINT AS turns_seen,
+       coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT AS chars_in,
+       (len(ls) - 1)::INT AS max_turn_idx,
+       1::INT AS batches,
+       f AS final
+FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+      FROM documents),
+     (SELECT unnest([0, 1]) AS f)
+ORDER BY conv_id, final
+"""
+
+
+@_register("streaming_conv_stats", oracle=_STREAM_CONV_STATS_ORACLE)
+def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator
+    (build_conv_stats_stream, ``applyInPandasWithState``) under the
+    driver hash: each document's text lines become the turns of a
+    multi-turn conversation, written as ONE parquet file so
+    availableNow processes a single data micro-batch. idle_ttl_ms=1
+    makes availableNow's trailing state-cleanup batches fire the
+    ProcessingTimeTimeout immediately (with the default 30-min TTL
+    the cleanup loop spins empty batches until eviction and never
+    terminates), so every conversation deterministically emits BOTH
+    its updated-totals row (final = 0) and its TTL-eviction row
+    (final = 1) — the eviction path itself lands under the hash.
+    Multi-batch interleavings and cross-batch accumulation stay
+    pytest-covered (tests/test_streaming.py)."""
+    import tempfile
+    import uuid
+
+    from .streaming.extract_stream import (
+        build_conv_stats_stream,
+        read_transcripts_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    src = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.posexplode(lines).alias("turn_idx0", "line"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx0").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("line").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="ocr-stream-convstats-")
+    in_dir = os.path.join(tmp, "in")
+    src.repartition(1).write.mode("overwrite").parquet(in_dir)
+
+    stats = build_conv_stats_stream(
+        read_transcripts_stream(spark, in_dir), idle_ttl_ms=1
+    )
+    qname = "stream_convstats_" + uuid.uuid4().hex[:8]
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow + applyInPandasWithState never self-terminates: the
+    # trigger keeps scheduling empty state-cleanup batches even after
+    # every group is evicted (observed: state drains in batch 1, loop
+    # continues with numRowsTotal == 0 indefinitely). Poll progress
+    # until the data batch ran AND the state store is empty — at that
+    # point the sink holds both the update and eviction rows — then
+    # stop explicitly.
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p and (p.get("batchId") or 0) >= 2:
+            so = (p.get("stateOperators") or [{}])[0]
+            if (so.get("numRowsTotal") or 0) == 0:
+                break
+        _time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(60)
+    return (
+        spark.table(qname)
+        .select("conv_id", "turns_seen", "chars_in", "max_turn_idx",
+                "batches", "final")
+        .orderBy("conv_id", "final")
+    )
+
+
+# Span structure — kinds AND offsets — for ALL FOUR kernels: the
+# multikind recast's block lists rebuilt per arm in SQL (html =
+# h1 + density-gated <p> + 2 table rows; tool = 4 ordered tool_kv
+# flatten lines; pdf = up to 2 non-empty pdf_page blocks; text =
+# blank-line paragraph runs), then the same prefix-sum offset
+# machinery as extract_spans. rem-0 kinds are 'text' uncondition-
+# ally: valid because the corpus contains no '<' and no base64 magic
+# prefix (asserted by tests/test_corpus_invariants.py).
+_SPANS_MULTIKIND_ORACLE = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, text AS rawt, lang, source
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, t, rawt, lang, source,
+         list_filter(string_split_regex(t, '[ \t\n\r]+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(t, '[ \t\n]+'), x -> x <> '') AS tk
+  FROM base
+),
+pdf1 AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           generate_series(1, ((len(tk) + 1) // 2 + 4) // 5),
+           g -> array_to_string(tk[(g - 1) * 5 + 1 : least(g * 5, (len(tk) + 1) // 2)], ' ')),
+           chr(10)) AS p1,
+         array_to_string(list_transform(
+           generate_series(1, (len(tk) - (len(tk) + 1) // 2 + 4) // 5),
+           g -> array_to_string(tk[(len(tk) + 1) // 2 + (g - 1) * 5 + 1
+                                   : least((len(tk) + 1) // 2 + g * 5, len(tk))], ' ')),
+           chr(10)) AS p2
+  FROM parts
+),
+textruns AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(starts)),
+                        r -> array_to_string(ls[starts[r]:ends[r]], chr(10))) AS bs
+  FROM (
+    SELECT doc_id, ls,
+           list_filter(generate_series(1, len(ls)),
+                       i -> ls[i] <> '' AND (i = 1 OR ls[i - 1] = '')) AS starts,
+           list_filter(generate_series(1, len(ls)),
+                       i -> ls[i] <> '' AND (i = len(ls) OR ls[i + 1] = '')) AS ends
+    FROM (
+      SELECT doc_id,
+             list_transform(string_split(coalesce(text, ''), chr(10)),
+                            x -> rtrim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS ls
+      FROM documents))
+),
+arms AS (
+  SELECT parts.doc_id,
+         CASE WHEN len(w) > 0
+                   AND len(w)::DOUBLE
+                       / greatest(ceil(length(array_to_string(w, ' ')) / 80.0), 1)
+                       >= 6.0
+              THEN 1 ELSE 0 END AS gate,
+         w, lang, source, rawt, p1, p2, bs
+  FROM parts
+  JOIN pdf1 ON parts.doc_id = pdf1.doc_id
+  JOIN textruns ON parts.doc_id = textruns.doc_id
+),
+blocks AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN ['Doc ' || doc_id]
+                       || CASE WHEN gate = 1
+                               THEN [array_to_string(w, ' ')] ELSE [] END
+                       || ['doc | ' || doc_id, 'lang | ' || lang]
+           WHEN 2 THEN ['doc: ' || doc_id,
+                        'lang: ' || to_json(lang)::VARCHAR,
+                        'src: ' || to_json(source)::VARCHAR,
+                        'note: ' || to_json(rawt)::VARCHAR]
+           WHEN 3 THEN list_filter(
+                         [CASE WHEN p1 <> '' THEN 'Page 1:' || chr(10) || p1 END,
+                          CASE WHEN p2 <> '' THEN 'Page 2:' || chr(10) || p2 END],
+                         x -> x IS NOT NULL)
+           ELSE bs
+         END AS bs2,
+         CASE doc_id % 4
+           WHEN 1 THEN ['h1']
+                       || CASE WHEN gate = 1 THEN ['p'] ELSE [] END
+                       || ['tr', 'tr']
+           WHEN 2 THEN ['tool_kv', 'tool_kv', 'tool_kv', 'tool_kv']
+           WHEN 3 THEN list_transform(
+                         list_filter([CASE WHEN p1 <> '' THEN 1 END,
+                                      CASE WHEN p2 <> '' THEN 1 END],
+                                     x -> x IS NOT NULL),
+                         x -> 'pdf_page')
+           ELSE list_transform(bs, x -> 'text')
+         END AS ks
+  FROM arms
+),
+spans AS (
+  SELECT doc_id, bs2, ks,
+         list_transform(generate_series(1, len(bs2)),
+            r -> coalesce(list_sum(list_transform(bs2[1:r-1], b -> length(b) + 1)), 0)) AS st
+  FROM blocks)
+SELECT cast(doc_id AS varchar) AS conv_id,
+       0::INT AS turn_idx,
+       CASE doc_id % 4 WHEN 1 THEN 'html' WHEN 2 THEN 'tool' WHEN 3 THEN 'pdf'
+            ELSE 'text' END AS kind,
+       len(bs2)::INT AS n_spans,
+       array_to_string(list_transform(generate_series(1, len(bs2)),
+         r -> (r - 1) || ':' || ks[r] || ':' || st[r] || ':' || (st[r] + length(bs2[r]))), '|')
+         AS spans_flat
+FROM spans
+ORDER BY conv_id, turn_idx
+"""
+
+
+@_register("extract_spans_multikind", oracle=_SPANS_MULTIKIND_ORACLE)
+def q_extract_spans_multikind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span kinds + char offsets for ALL FOUR dispatch arms under the
+    driver hash — the html classifier's kept-block sequence
+    (h1/p/tr), the tool flatten's tool_kv lines, the pdf walk's
+    page blocks and the text paragraph runs, each with prefix-sum
+    offsets, hash-verified on live multikind data."""
+    df = transcripts_from_documents_multikind(spark, sf_dir)
+    out = build_extracted(df, num_buckets=32, salt_buckets=4)
+    spans_flat = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                ":",
+                s["span_idx"].cast("string"),
+                s["kind"],
+                s["start"].cast("string"),
+                s["end"].cast("string"),
+            ),
+        ),
+        "|",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        F.size("spans").alias("n_spans"),
+        spans_flat.alias("spans_flat"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 # ---------------------------------------------------------------- API
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
