@@ -29,9 +29,11 @@ Three parts:
    its own hardware-ceiling probes (the same kernels via bare
    multiprocessing at 4 vs 16 processes, immediately before AND after
    the two Spark levels). A pass is **window-valid** iff both probes
-   land inside ``SANE_HW`` = [0.84, 1.06] (quiet-window measurements
-   span 0.86–0.98 on this VM; 3.765- or 0.5-style readings mean a
-   host CPU-steal window crossed the pass), AND each level has at
+   land inside ``SANE_HW`` = [0.78, 1.10] (the probe's own pool-ratio
+   noise spans 0.80-1.02 across quiet states, so the band sits just
+   below its noise floor and exists to catch GROSS windows — 3.765-
+   or 0.5-style readings; fine-grained contamination is the steal
+   counter's job), AND each level has at
    least MIN_CLEAN_RUNS runs whose *measured host CPU-steal* was ≤
    5% — this guest exposes steal in /proc/stat, and run time tracks
    it directly (8.2s at 6% steal vs 9.6s at 14% in back-to-back
@@ -114,10 +116,14 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 SEED = 42
 MEGA, MEGA_TURNS = 3, 50000  # forced skew: salting must earn its keep
 NUM_BUCKETS, SALT_BUCKETS = 256, 8
-# Sane band for the bracketing hw-ceiling probes: quiet-window 4→16
-# bare-kernel measurements span 0.86–0.98 on this VM (BASELINE.md);
-# 0.84 allows jitter below the observed floor, 1.06 above parity.
-SANE_HW = (0.84, 1.06)
+# Sane band for the bracketing hw-ceiling probes. The probe's own
+# pool-ratio noise spans 0.80-1.02 across quiet states (14
+# observations recorded while building round 3), so the band sits
+# just below that noise floor — it exists to catch GROSS steal
+# windows (0.5- or 3.8-style readings), while fine-grained
+# contamination is caught by the per-run steal counter, which is the
+# primary signal.
+SANE_HW = (0.78, 1.10)
 MAX_EFF = 1.05  # super-unit lo→hi scaling = a poisoned lo level
 MAX_RUN_SPREAD = 1.2  # within-level median/min run ratio (quiet ~1.0-1.1)
 CACHE = os.path.join(REPO, ".bench", f"transcripts-v1-{N_CONVS}")
@@ -339,12 +345,17 @@ def _hardware_ceiling(lo: int, hi: int) -> dict:
 
     out = {}
     for procs in (lo, hi):
-        best = 0.0
+        totals = []
+        # 2 pool rounds, a 3rd only when they disagree >10% (probe
+        # noise): best-of — a ceiling is a capability bound, steal can
+        # only lower a reading.
         for _ in range(2):
             with mp.Pool(procs) as pool:
-                rates = pool.map(_hw_work, range(procs))
-            best = max(best, sum(rates))
-        out[procs] = round(best)
+                totals.append(sum(pool.map(_hw_work, range(procs))))
+        if max(totals) > 1.1 * min(totals):
+            with mp.Pool(procs) as pool:
+                totals.append(sum(pool.map(_hw_work, range(procs))))
+        out[procs] = round(max(totals))
     return {
         f"rows_per_sec_{lo}p": out[lo],
         f"rows_per_sec_{hi}p": out[hi],
@@ -535,15 +546,28 @@ def _skew_evidence(rows: int) -> dict:
     return out
 
 
-def _load_prev_queries() -> dict:
-    """Round-2 per-query timings (single-shot) for the regression
-    flags; tolerant of the driver's artifact wrapper."""
+def _load_prev_queries() -> tuple:
+    """Per-query timings from the LATEST recorded round artifact
+    (BENCH_r{N}.json, highest N) for the regression flags; tolerant of
+    the driver's artifact wrapper. Returns (round_name, {query: sec})."""
+    import glob as _glob
+    import re as _re
+
+    best = None
+    for p in _glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return "", {}
     try:
-        with open(os.path.join(REPO, "BENCH_r02.json")) as f:
+        with open(best[1]) as f:
             d = json.load(f)
-        return (d.get("parsed") or d).get("queries") or {}
+        return f"r{best[0]:02d}", (d.get("parsed") or d).get("queries") or {}
     except Exception:
-        return {}
+        return "", {}
 
 
 def main() -> int:
@@ -679,14 +703,14 @@ def main() -> int:
         n: {"min": min(ts), "max": max(ts), "runs": ts}
         for n, ts in runs_by_query.items()
     }
-    prev = _load_prev_queries()
+    prev_round, prev = _load_prev_queries()
     regressions = {
-        n: {"r2_sec": prev[n], "median_sec": qtimes[n]}
+        n: {f"{prev_round}_sec": prev[n], "median_sec": qtimes[n]}
         for n in qtimes
         if n in prev and prev[n] > 0 and qtimes[n] > 1.5 * prev[n]
     }
     if regressions:
-        result["query_regressions_vs_r2"] = regressions
+        result[f"query_regressions_vs_{prev_round}"] = regressions
     result["metric"] = "headline_queries_total"
     result["value"] = round(sum(qtimes.values()), 3)
     phases["total"] = round(_elapsed(), 1)
