@@ -1917,7 +1917,7 @@ def q_streaming_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     deadline = _time.time() + 180
-    while _time.time() < deadline:
+    while _time.time() < deadline and q.isActive:
         p = q.lastProgress
         if p and (p.get("batchId") or 0) >= 2:
             so = (p.get("stateOperators") or [{}])[0]
