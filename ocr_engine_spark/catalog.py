@@ -1838,6 +1838,122 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- product quantization
+
+_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES = 16, 4, 4
+
+
+def _pq_w_sql(w) -> str:
+    return "[" + ", ".join(str(float(x)) for x in w) + "]"
+
+
+def _pq_code_terms_sql(codebooks, vec: str = "e") -> str:
+    """The packed-code expression: per segment, 1-based argmax-dot
+    codeword index (list_position finds the FIRST max — same
+    lowest-index tie rule as Spark's array_position) minus 1, scaled
+    by 4^s."""
+    terms = []
+    for s, words in enumerate(codebooks):
+        sub = len(words[0])
+        lo, hi = s * sub + 1, s * sub + sub
+        dots = ", ".join(
+            f"list_dot_product({vec}[{lo}:{hi}], {_pq_w_sql(w)})" for w in words
+        )
+        terms.append(
+            f"(list_position([{dots}], list_max([{dots}])) - 1)::BIGINT * {4 ** s}"
+        )
+    return "\n         + ".join(terms)
+
+
+def _pq_codes_oracle() -> str:
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings)
+SELECT vec_id,
+       ({_pq_code_terms_sql(cb)})::BIGINT AS pq_code
+FROM v
+ORDER BY vec_id
+"""
+
+
+@_register("ann_pq_codes", oracle=_pq_codes_oracle())
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): each
+    64-dim embedding compresses to ONE packed BIGINT (16 segments × 2
+    bits) via per-segment argmax-dot against literal codebooks — a
+    pure projection, and the column an ADC scan reads INSTEAD of the
+    raw vectors at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    return emb.select(
+        "vec_id", similarity.pq_code_col(cb).alias("pq_code")
+    ).orderBy("vec_id")
+
+
+def _pq_adc_topk_oracle(k: int = 10) -> str:
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    score_terms = []
+    for s, words in enumerate(cb):
+        sub = len(words[0])
+        lo, hi = s * sub + 1, s * sub + sub
+        lut = ", ".join(
+            f"list_dot_product(q.qe[{lo}:{hi}], {_pq_w_sql(w)})" for w in words
+        )
+        score_terms.append(f"([{lut}])[(c.pq_code // {4 ** s}) % 4 + 1]")
+    score = "\n              + ".join(score_terms)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+codes AS (SELECT vec_id, ({_pq_code_terms_sql(cb)})::BIGINT AS pq_code FROM v),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+SELECT c.vec_id,
+       round({score}, 6) AS adc_score
+FROM codes c, q
+ORDER BY adc_score DESC, c.vec_id
+LIMIT {k}
+"""
+
+
+@_register("ann_pq_adc_topk", oracle=_pq_adc_topk_oracle(10))
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance) top-10: the query builds a tiny
+    driver-side lookup table (segments × codes dots against the
+    literal codebooks) and every corpus vector is scored from its
+    packed code alone — integer unpack + literal-array lookups, the
+    raw embeddings never read in the scoring scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.pq_adc_topk(emb, cb, qvec, k=10)
+
+
+def _pq_recall_oracle(k: int = 10) -> str:
+    return f"""
+WITH brute AS (SELECT vec_id FROM ({_ANN_BRUTE_ORACLE}) b),
+adc AS (SELECT vec_id FROM ({_pq_adc_topk_oracle(k)}) a)
+SELECT {k}::INT AS k,
+       (SELECT count(*) FROM adc JOIN brute USING (vec_id))::BIGINT AS hits,
+       round((SELECT count(*) FROM adc JOIN brute USING (vec_id)) / {k}.0, 6) AS recall
+"""
+
+
+@_register("ann_pq_recall", oracle=_pq_recall_oracle(10))
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ/ADC path vs brute-force cosine — what the
+    64:1 compression costs on this corpus (PLANS.md §9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    adc = similarity.pq_adc_topk(emb, cb, qvec, k=10).select("vec_id")
+    return adc.join(brute, "vec_id").agg(F.count(F.lit(1)).alias("hits")).select(
+        F.lit(10).alias("k"),
+        "hits",
+        F.round(F.col("hits") / 10.0, 6).alias("recall"),
+    )
+
+
 _STREAM_CONV_STATS_ORACLE = """
 SELECT cast(doc_id AS varchar) AS conv_id,
        len(ls)::BIGINT AS turns_seen,

@@ -40,3 +40,26 @@ def test_bucket_of_matches_mask_flip_semantics():
     assert bucket_of(vec, planes) == 1
     flipped = [[-1, 1], [-1, 1]]  # negate plane 0
     assert bucket_of(vec, flipped) == bucket_of(vec, planes) ^ 1
+
+
+def test_pq_code_packs_16_segments_of_2_bits():
+    from ocr_engine_spark.operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(16, 4, 4)
+    assert len(cb) == 16 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+    assert all(v in (-1.0, -0.5, 0.5, 1.0) for s in cb for c in s for v in c)
+    # no segment may have two identical codewords (argmax would tie
+    # permanently and waste a code)
+    for s in cb:
+        assert len({tuple(c) for c in s}) == 4
+
+
+def test_pq_adc_lut_matches_manual_dot():
+    from ocr_engine_spark.operators.similarity import pq_adc_lut, pq_codebooks
+
+    cb = pq_codebooks(2, 4, 4)
+    q = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    lut = pq_adc_lut(q, cb)
+    assert len(lut) == 2 and len(lut[0]) == 4
+    expect = sum(a * b for a, b in zip(q[4:], cb[1][2]))
+    assert lut[1][2] == expect
