@@ -1715,27 +1715,30 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of IVF search vs brute-force, swept over nprobe 1..4
     (VERDICT r2 item 5): nprobe=4 probes every inverted list and must
     hit recall 1.0; the sweep quantifies the probe-count/recall trade
-    (PLANS.md §9)."""
+    (PLANS.md §9). Since r4 the whole sweep is ONE embeddings scan +
+    ONE assignment pass (``similarity.ivf_topk_sweep`` — probe sets are
+    nested, so a sequence-explode fans each vector to its member
+    sweeps; VERDICT r3 item 5 — the per-branch form scanned 8×)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
-    parts = []
-    for np_ in (1, 2, 3, 4):
-        topk = similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=np_).select(
-            "vec_id"
+    sweep = similarity.ivf_topk_sweep(emb, cents, qvec, k=10)
+    nprobes = spark.range(1, 5).select(F.col("id").cast("int").alias("nprobe"))
+    hits = (
+        sweep.join(F.broadcast(brute), "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        nprobes.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 6).alias("recall"),
         )
-        parts.append(
-            topk.join(brute, "vec_id")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(F.lit(np_).alias("nprobe"), "hits")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "nprobe", "hits", F.round(F.col("hits") / 10.0, 6).alias("recall")
-    ).orderBy("nprobe")
+        .orderBy("nprobe")
+    )
 
 
 # ------------------------------------------- streaming metrics parity
@@ -1952,6 +1955,119 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / 10.0, 6).alias("recall"),
     )
+
+
+def _ivf_pq_topk_oracle(nprobe: int = 2, k: int = 10) -> str:
+    """IVFADC replay: the oracled IVF assignment + probe CTEs, the
+    oracled PQ packed-code CTE, ADC scoring restricted to the probed
+    lists."""
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    score_terms = []
+    for s, words in enumerate(cb):
+        sub = len(words[0])
+        lo, hi = s * sub + 1, s * sub + sub
+        lut = ", ".join(
+            f"list_dot_product(q.qe[{lo}:{hi}], {_pq_w_sql(w)})" for w in words
+        )
+        score_terms.append(f"([{lut}])[(c.pq_code // {4 ** s}) % 4 + 1]")
+    score = "\n              + ".join(score_terms)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+c1 AS (SELECT e FROM v WHERE vec_id = 1),
+c2 AS (SELECT e FROM v WHERE vec_id = 2),
+c3 AS (SELECT e FROM v WHERE vec_id = 3),
+c4 AS (SELECT e FROM v WHERE vec_id = 4),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, list_position(dots, list_max(dots))::INT AS centroid
+  FROM (
+    SELECT v.vec_id,
+           [list_dot_product(v.e, c1.e), list_dot_product(v.e, c2.e),
+            list_dot_product(v.e, c3.e), list_dot_product(v.e, c4.e)] AS dots
+    FROM v, c1, c2, c3, c4)
+),
+qd AS (
+  SELECT [list_dot_product(q.qe, c1.e), list_dot_product(q.qe, c2.e),
+          list_dot_product(q.qe, c3.e), list_dot_product(q.qe, c4.e)] AS dots
+  FROM q, c1, c2, c3, c4
+),
+probes AS (
+  SELECT i FROM qd, (SELECT unnest(generate_series(1, 4)) AS i)
+  ORDER BY qd.dots[i] DESC, i
+  LIMIT {nprobe}
+),
+codes AS (SELECT vec_id, ({_pq_code_terms_sql(cb)})::BIGINT AS pq_code FROM v)
+SELECT c.vec_id,
+       round({score}, 6) AS adc_score
+FROM codes c JOIN assign USING (vec_id), q
+WHERE assign.centroid IN (SELECT i FROM probes)
+ORDER BY adc_score DESC, c.vec_id
+LIMIT {k}
+"""
+
+
+@_register("ann_ivf_pq_topk", oracle=_ivf_pq_topk_oracle(nprobe=2, k=10))
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ (IVFADC, Jégou et al. TPAMI 2011 §V — VERDICT r3 item
+    6): centroid-probe prune to the top-2 inverted lists, then
+    ADC-score the packed PQ codes of the survivors only. One scan, two
+    projections, no join; the probed scan reads the BIGINT code column
+    instead of raw vectors — the production ANN shape both PLANS.md §9
+    notes point at."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.ivf_pq_topk(emb, cents, cb, qvec, k=10, nprobe=2)
+
+
+def _ivf_pq_recall_oracle(k: int = 10) -> str:
+    branches = []
+    for np_ in (1, 2, 3, 4):
+        branches.append(
+            f"  SELECT {np_}::INT AS nprobe,\n"
+            f"         (SELECT count(*) FROM ({_ivf_pq_topk_oracle(np_, k)}) i\n"
+            f"          JOIN ({_ANN_BRUTE_ORACLE}) b USING (vec_id))::BIGINT AS hits"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return (
+        "SELECT nprobe, hits, round(hits / "
+        f"{k}.0, 6) AS recall\nFROM (\n{body}\n)\nORDER BY nprobe\n"
+    )
+
+
+@_register("ann_ivf_pq_recall", oracle=_ivf_pq_recall_oracle(10))
+def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF×PQ vs brute-force cosine, swept over nprobe
+    1..4 — quantifies what the centroid prune adds/costs ON TOP of the
+    PQ-alone 0.2 recall (ann_pq_recall): pruning can *raise* recall by
+    evicting ADC false positives from other lists, or lower it by
+    cutting true neighbors whose list isn't probed; measured honestly
+    either way (PLANS.md §9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    cb = similarity.pq_codebooks(_PQ_SEGMENTS, _PQ_SUB, _PQ_NCODES)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    parts = []
+    for np_ in (1, 2, 3, 4):
+        topk = similarity.ivf_pq_topk(
+            emb, cents, cb, qvec, k=10, nprobe=np_
+        ).select("vec_id")
+        parts.append(
+            topk.join(F.broadcast(brute), "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(np_).alias("nprobe"), "hits")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "nprobe",
+        F.col("hits").cast("long").alias("hits"),
+        F.round(F.col("hits") / 10.0, 6).alias("recall"),
+    ).orderBy("nprobe")
 
 
 _STREAM_CONV_STATS_ORACLE = """

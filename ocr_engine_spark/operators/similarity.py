@@ -325,6 +325,19 @@ def ivf_assignments(emb: DataFrame, centroids: List[List[float]],
     )
 
 
+def ivf_probe_lists(centroids: List[List[float]], query: Sequence[float],
+                    nprobe: int = 1) -> List[int]:
+    """The 1-based inverted-list ids to probe for ``query``: centroids
+    ranked by dot product, ties → lowest index. Driver-side — the
+    centroid table is tiny and the result compiles into the plan as a
+    literal IN-list, so probing costs no join."""
+    qdots = [
+        (j + 1, sum(float(a) * float(b) for a, b in zip(query, c)))
+        for j, c in enumerate(centroids)
+    ]
+    return [j for j, _ in sorted(qdots, key=lambda t: (-t[1], t[0]))[:nprobe]]
+
+
 def ivf_topk(emb: DataFrame, centroids: List[List[float]],
              query: Sequence[float], k: int = 10, nprobe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -332,15 +345,86 @@ def ivf_topk(emb: DataFrame, centroids: List[List[float]],
     centroids are tiny), scan only the top-``nprobe`` inverted lists,
     exact cosine within them. The scan predicate (centroid IN probes)
     prunes the corpus before any ranking work."""
-    qdots = [
-        (j + 1, sum(float(a) * float(b) for a, b in zip(query, c)))
-        for j, c in enumerate(centroids)
-    ]
-    probes = [j for j, _ in sorted(qdots, key=lambda t: (-t[1], t[0]))[:nprobe]]
+    probes = ivf_probe_lists(centroids, query, nprobe)
     assigned = emb.select(
         F.col(id_col), F.col(vec_col),
         ivf_assign_col(centroids, vec_col).alias("centroid"),
     )
     return cosine_topk(
         assigned.filter(F.col("centroid").isin(probes)), query, k, id_col, vec_col
+    )
+
+
+def ivf_topk_sweep(emb: DataFrame, centroids: List[List[float]],
+                   query: Sequence[float], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-nprobe IVF top-k for EVERY nprobe 1..len(centroids) from ONE
+    scan (VERDICT r3 item 5 — the per-branch form re-scanned embeddings
+    8×). Probe sets are nested (probes(n) = first n of the query's
+    centroid ranking), so a vector whose centroid has probe rank r is a
+    candidate for every nprobe ≥ r: one projection computes
+    (probe_rank, cosine), a sequence-explode fans each row to its
+    member sweeps, one window ranks per nprobe. Returns
+    (nprobe, vec_id, cosine) rows with per-nprobe rank ≤ k.
+
+    Scale note: the window partitions on nprobe (num_lists keys), so
+    this sweep is a *diagnostic* over modest corpora; the production
+    single-nprobe path (``ivf_topk``) stays a TakeOrdered over the
+    rank-pruned scan with no such concentration."""
+    from pyspark.sql.window import Window
+
+    n = len(centroids)
+    order = ivf_probe_lists(centroids, query, n)
+    rank_map = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in order]),
+        F.array(*[F.lit(i + 1) for i in range(n)]),
+    )
+    q = F.array(*[F.lit(float(v)) for v in query])
+    cosine = F.round(
+        _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+    )
+    scored = emb.select(
+        F.col(id_col),
+        rank_map[ivf_assign_col(centroids, vec_col)].alias("probe_rank"),
+        cosine.alias("cosine"),
+    )
+    swept = scored.select(
+        F.explode(F.sequence(F.col("probe_rank"), F.lit(n))).alias("nprobe"),
+        F.col(id_col),
+        F.col("cosine"),
+    )
+    w = Window.partitionBy("nprobe").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        swept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivf_pq_topk(emb: DataFrame, centroids: List[List[float]],
+                codebooks: List[List[List[float]]], query: Sequence[float],
+                k: int = 10, nprobe: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF×PQ — the production ANN composition (IVFADC, Jégou et al.
+    TPAMI 2011 §V): prune inverted lists with the centroid probe, then
+    ADC-score the packed PQ codes of the SURVIVING lists only. Both
+    halves are pure projections over one scan — the probe filter cuts
+    the corpus to ~nprobe/num_lists before any scoring work, and the
+    scoring reads the packed BIGINT code, never the raw vectors. At
+    production scale ``centroid`` and ``pq_code`` are materialized
+    columns (partition by centroid) and the scan touches only the
+    probed partitions' code column: ~256 B/vector → ~4 B/vector over
+    ~nprobe/num_lists of the data."""
+    probes = ivf_probe_lists(centroids, query, nprobe)
+    lut = pq_adc_lut(query, codebooks)
+    coded = emb.select(
+        F.col(id_col),
+        ivf_assign_col(centroids, vec_col).alias("centroid"),
+        pq_code_col(codebooks, vec_col).alias("pq_code"),
+    )
+    return (
+        coded.filter(F.col("centroid").isin(probes))
+        .select(id_col, F.round(pq_adc_score_col(lut), 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
     )

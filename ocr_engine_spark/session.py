@@ -21,7 +21,13 @@ def build_session(app_name: str = "ocr-engine-spark", master: str | None = None,
       long-lived driver otherwise accumulates unreferenced shuffle /
       RDD state that is only reclaimed on a full GC — measured here as
       identical jobs degrading 2.5s → 43s across reruns until a
-      System.gc() restored them.
+      System.gc() restored them;
+    - session timezone pinned to UTC: ``window()`` aligns to the UTC
+      epoch while timestamp LITERALS parse in the session zone, so on
+      a host zone that is not a multiple of the window slide (+05:30,
+      +05:45) window labels would shift against replayed oracles —
+      pinning makes every timestamp-bearing result
+      environment-independent (ADVICE r3).
     """
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     b = (
@@ -31,6 +37,7 @@ def build_session(app_name: str = "ocr-engine-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.cleaner.periodicGC.interval", "2min")

@@ -51,6 +51,21 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # Refuse to run against a corpus that violates the oracle-parity
+    # preconditions (VERDICT r3 item 7): the multikind/malformed
+    # oracles are corpus-coupled, and a datagen change must fail HERE,
+    # loudly, not silently desync engine vs oracle mid-gate.
+    from ocr_engine_spark.kernel.corpus_invariants import violations
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs):
+        bad = violations(con, docs)
+        if bad:
+            print("CORPUS PRECONDITION VIOLATIONS (refusing to run gate):")
+            for v in bad:
+                print("  -", v)
+            return 2
+
     spark = build_session(master="local[8]", shuffle_partitions=16)
     qs, os_ = queries(), oracle_sql()
     failures = 0

@@ -43,6 +43,27 @@ def test_oracle_sql_mentions_only_registered_tables():
             ), (name, t)
 
 
+def test_readme_query_count_matches_catalog():
+    """ADVICE r3: the README's 'N of N' coverage claim went stale when
+    queries landed after the doc edit. Pin it to the live catalog —
+    and require every query to carry an oracle (zero rows-only)."""
+    import os
+    import re
+
+    from ocr_engine_spark.catalog import oracle_sql, queries
+
+    q, o = queries(), oracle_sql()
+    assert set(o) == set(q), "every catalog query must be oracled"
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"\((\d+) of (\d+), round \d+\)", readme)
+    assert m, "README coverage line missing"
+    assert int(m.group(1)) == int(m.group(2)) == len(q), (
+        f"README claims {m.group(0)}, catalog has {len(q)}"
+    )
+
+
 def test_entry_returns_expected_columns():
     import __spark_entry__ as e
 

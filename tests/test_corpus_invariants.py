@@ -1,21 +1,11 @@
-"""Oracle-parity preconditions on the driver corpus (ADVICE r2).
+"""Oracle-parity preconditions on the driver corpus (ADVICE r2/r3).
 
-The multikind/malformed flagship oracles are corpus-coupled in three
-places where Spark/Python and DuckDB semantics diverge on exotic input:
-
-- word splitting: kernels collapse with Python ``str.split()`` (any
-  Unicode whitespace, incl. VT/FF) while the oracles split on
-  ``[ \\t\\n\\r]+``;
-- line handling: the pdf arm's oracle never rstrips ``\\r``;
-- JSON escaping: the tool arm relies on DuckDB ``to_json(varchar)``
-  == Python ``json.dumps(ensure_ascii=False)``, which holds for
-  printable ASCII without exotic escapes;
-- entity round-trip: the html constructors escape exactly ``& < >``,
-  so text containing pre-escaped entities must not exist.
-
-These tests assert the invariants those equalities rely on, so a
-datagen change desyncs LOUDLY here instead of silently desyncing the
-engine and its oracle.
+The checks themselves live in ``ocr_engine_spark.kernel.
+corpus_invariants`` and are SHARED with ``scripts/check_correctness.py``
+(VERDICT r3 item 7): a datagen change that breaks a corpus-coupled
+oracle assumption fails loudly here AND refuses to run the gate,
+instead of silently desyncing the engine and its oracle. See that
+module's docstring for the full invariant rationale.
 """
 
 from __future__ import annotations
@@ -24,6 +14,8 @@ import os
 
 import duckdb
 import pytest
+
+from ocr_engine_spark.kernel.corpus_invariants import violations
 
 SF_DIRS = [
     d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -36,32 +28,28 @@ SF_DIRS = [
 def test_documents_corpus_oracle_preconditions(sf_dir):
     con = duckdb.connect()
     p = os.path.join(sf_dir, "documents.parquet")
-    (n, nulls, nonascii, badws, entity_chars) = con.execute(
-        f"""
-        SELECT count(*),
-               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
-               sum(CASE WHEN regexp_matches(text, '[^\\x20-\\x7e\\n\\t]')
-                        THEN 1 ELSE 0 END),
-               sum(CASE WHEN text LIKE '%' || chr(13) || '%'
-                          OR text LIKE '%' || chr(11) || '%'
-                          OR text LIKE '%' || chr(12) || '%'
-                        THEN 1 ELSE 0 END),
-               sum(CASE WHEN contains(text, '&') OR contains(text, '<')
-                          OR contains(text, '>') OR contains(text, '"')
-                          OR contains(text, chr(92))
-                        THEN 1 ELSE 0 END)
-        FROM read_parquet('{p}')
-        """
-    ).fetchone()
-    assert n > 0
-    # non-NULL text: Spark to_json drops null struct fields while
-    # DuckDB '|| to_json(NULL)' nulls the whole concatenation
-    assert nulls == 0
-    # printable ASCII + \n + \t only: keeps Python str.split() ==
-    # '[ \t\n\r]+' regex split and json.dumps == duckdb to_json
-    assert nonascii == 0
-    # no CR/VT/FF: the pdf-arm oracle does not model rstrip('\r') and
-    # Python str.split() would treat VT/FF as word boundaries
-    assert badws == 0
-    # no & < > " \: entity round-trip and JSON-escape parity stay exact
-    assert entity_chars == 0
+    assert violations(con, p) == []
+
+
+def test_violations_flags_braces(tmp_path):
+    """A corpus with a JSON-object substring must be rejected — the
+    malformed tool-arm oracle hardcodes parse_failed=1 (ADVICE r3)."""
+    con = duckdb.connect()
+    p = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT 1 AS doc_id, 'has a ' || chr(123) || 'k: 1' || chr(125)"
+        " AS text) TO '" + p + "' (FORMAT PARQUET)"
+    )
+    out = violations(con, p)
+    assert any("'{' or '}'" in v for v in out)
+
+
+def test_violations_flags_entities_and_cr(tmp_path):
+    con = duckdb.connect()
+    p = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES (1, 'a &amp; b'), (2, 'x' || chr(13)),"
+        " (3, NULL)) t(doc_id, text)) TO '" + p + "' (FORMAT PARQUET)"
+    )
+    out = violations(con, p)
+    assert len(out) >= 3

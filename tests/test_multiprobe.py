@@ -63,3 +63,23 @@ def test_pq_adc_lut_matches_manual_dot():
     assert len(lut) == 2 and len(lut[0]) == 4
     expect = sum(a * b for a, b in zip(q[4:], cb[1][2]))
     assert lut[1][2] == expect
+
+
+def test_ivf_probe_lists_rank_and_nest():
+    from ocr_engine_spark.operators.similarity import ivf_probe_lists
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.5, 0.5]]
+    q = [2.0, 1.0]
+    # dots: 2.0, 1.0, -2.0, 1.5 → ranking 1, 4, 2, 3
+    assert ivf_probe_lists(cents, q, 4) == [1, 4, 2, 3]
+    # probe sets nest: probes(n) is a prefix of probes(n+1) — the
+    # invariant ivf_topk_sweep's sequence-explode relies on
+    for n in range(1, 4):
+        assert ivf_probe_lists(cents, q, n) == ivf_probe_lists(cents, q, 4)[:n]
+
+
+def test_ivf_probe_lists_tie_breaks_lowest_index():
+    from ocr_engine_spark.operators.similarity import ivf_probe_lists
+
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    assert ivf_probe_lists(cents, [1.0, 0.0], 2) == [1, 2]
