@@ -194,6 +194,8 @@ HEADLINE = [
     "near_dup_scale_path",
     "simhash_near_pairs_documents",
     "ann_ivf_pq_topk",
+    "curation_decontaminate",
+    "curation_shuffle_permutation",
 ]
 
 

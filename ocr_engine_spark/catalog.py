@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .functions import textfns as X
 from .functions.columns import clamp_conf_col, payload_kind_col, slugify_col
-from .operators import dedup, similarity, textstats
+from .operators import curation, dedup, similarity, textstats
 from .plans.extract_plan import build_extracted
 from .sources.tableio import (
     transcripts_from_documents,
@@ -2304,6 +2304,133 @@ def q_extract_spans_multikind(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("spans").alias("n_spans"),
         spans_flat.alias("spans_flat"),
     ).orderBy("conv_id", "turn_idx")
+
+
+# ------------------------------------------- training-data curation
+
+# DuckDB mirror of the curation decision hash (hash60 of "id:salt").
+def _decision_hash_sql(salt: str) -> str:
+    return HASH60_SQL.format(x=f"doc_id::VARCHAR || ':{salt}'")
+
+
+@_register(
+    "curation_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_decision_hash_sql('sample')} % 100
+      < CASE WHEN lang = 'en' THEN 40 ELSE 100 END
+ORDER BY doc_id
+""",
+)
+def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: down-sample the dominant
+    language (en → 40%) by a per-row md5-derived decision hash —
+    reproducible across reruns and cluster sizes, pure scan-side
+    filter (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        curation.stratified_sample(docs, {"en": 40})
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "curation_quota_per_source",
+    oracle=f"""
+SELECT source, doc_id, quality, rk FROM (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT source, doc_id,
+           round(0.4 * least(len(t) / 100.0, 1.0)
+               + 0.3 * greatest(0.0, 1.0 - (punct::DOUBLE / total) * 4.0)
+               + 0.3 * least(len(list_filter(t,
+                     x -> x IN ('the','a','an','and','or','of','to','in','is','it')
+                   ))::DOUBLE / greatest(len(t), 1) * 5.0, 1.0), 6) AS quality
+    FROM (
+      SELECT source, doc_id, {{tok}} AS t,
+             greatest(length(coalesce(text, '')), 1) AS total,
+             length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''),
+                 '[^a-zA-Z0-9 \t\n\r]', '', 'g')) AS punct
+      FROM documents)))
+WHERE rk <= 5
+ORDER BY source, rk
+""".replace("{tok}", TOKENS_SQL),
+)
+def q_curation_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota (domain-mixing cap): top-5 documents
+    per source by quality score, ties broken by lowest id."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.quota_per_source(docs, 5).orderBy("source", "rk")
+
+
+@_register(
+    "curation_pack_sequences",
+    oracle=f"""
+SELECT doc_id, lang, pack_shard, n_tokens, cum_tokens::BIGINT AS cum_tokens,
+       floor((cum_tokens - n_tokens) / 512.0)::BIGINT AS bin_idx
+FROM (
+  SELECT doc_id, lang, pack_shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM (
+    SELECT doc_id, lang, floor(doc_id / 200.0)::BIGINT AS pack_shard,
+           len({TOKENS_SQL})::BIGINT AS n_tokens
+    FROM documents))
+ORDER BY doc_id
+""",
+)
+def q_curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local greedy sequence packing into 512-token bins: the
+    deterministic batch-assembly step; every window partition bounded
+    at shard_rows rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, budget=512, shard_rows=200).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "curation_decontaminate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({SHINGLES_SQL.format(t='t')}) AS shingle FROM tok),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n
+         FROM sh JOIN bench ON sh.shingle = bench.shingle
+         GROUP BY sh.doc_id)
+SELECT d.doc_id, h.n IS NOT NULL AS contaminated,
+       coalesce(h.n, 0)::BIGINT AS n_hit_shingles
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: flag documents sharing a word
+    3-shingle with the (broadcast) benchmark subset doc_id % 97 == 0."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.decontaminate(docs, bench_mod=97).orderBy("doc_id")
+
+
+@_register(
+    "curation_shuffle_permutation",
+    oracle=f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {_decision_hash_sql('shuffle')}, doc_id)
+         AS shuffle_pos
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_curation_shuffle_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation — a total
+    row_number over hash order computed without a single-partition
+    window (bucketed enumeration + broadcast offset table)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.shuffle_permutation(docs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------- API

