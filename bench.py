@@ -71,6 +71,29 @@ Three parts:
    is window-valid the artifact says so (``window_valid: false``)
    instead of laundering a noisy number.
 
+   **Time-matched normalization (round 4):** this VM exhibits a slow
+   host-side per-core speed drift the steal counter cannot see (r4
+   window: the bare-kernel 4-process rate fell 25% across the window
+   while the 16-process rate held within 5% — the signature of
+   few-active-core frequency boost decaying under sustained load; no
+   cpufreq visibility, the guest reports a fixed 2100 MHz). Because
+   the lo level runs before the hi level, monotone drift deflates the
+   raw efficiency and trips the bracket. So every timed run is now
+   immediately preceded by a ~1 s bare-kernel probe at the SAME
+   process count, and a **time-matched efficiency** is computed from
+   per-run engine-rate / machine-rate ratios: eff_tm =
+   median(hi_rate_i / hw_hi_i) / median(lo_rate_j / hw_lo_j) over the
+   same steal-clean runs. In a quiet window this equals
+   raw / hw_ceiling (the already-recorded ``normalized_efficiency``);
+   in a drifting window the matched divisor cancels the drift to
+   first order. It is reported ALWAYS (symmetric — in quiet windows it
+   is typically slightly LOWER than raw since the hw ratio sits near
+   1.0), alongside raw, with its own validity flag ``tm_valid``
+   (probes self-consistent per level: min ≥ 0.55 × max — a collapsed
+   probe inflates its run and voids the estimate — plus the same
+   steal/eff-plausibility gates). ``window_valid`` keeps its bracket
+   meaning unchanged.
+
    Measured necessities retained from round 2 (details in BASELINE.md):
    full-job untimed warm runs; the SAME number of timed runs at both
    levels; efficiency from MEDIANS; forced double full-GCs between
@@ -326,35 +349,39 @@ def _time_extract(master: str, cores: int, rows: int, runs: int,
         if cores >= 8:
             _noop(out)
             _noop(out)
-        times: list = []  # (sec, steal_pct)
+        times: list = []  # (sec, steal_pct, hw_rows_per_sec)
         budget_runs = runs + max_extra
         while len(times) < runs or (
-            sum(1 for _, s in times if s <= STEAL_CLEAN_PCT) < MIN_CLEAN_RUNS
+            sum(1 for _, s, _h in times if s <= STEAL_CLEAN_PCT) < MIN_CLEAN_RUNS
             and len(times) < budget_runs
         ):
             _double_gc(spark)
+            # time-matched machine-capability divisor for THIS run
+            # (JVM is idle here — post-GC, pre-run)
+            hw = _hw_probe_rate(cores)
             j0, s0 = _steal_counters()
             t0 = time.time()
             _noop(out)
             dt = time.time() - t0
             j1, s1 = _steal_counters()
             steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
-            times.append((dt, round(steal, 1)))
+            times.append((dt, round(steal, 1), hw))
     finally:
         spark.stop()
-    clean = [t for t, s in times if s <= STEAL_CLEAN_PCT]
+    clean = [t for t, s, _h in times if s <= STEAL_CLEAN_PCT]
     contaminated = len(clean) < MIN_CLEAN_RUNS
-    basis = clean if not contaminated else [t for t, _ in times]
+    basis = clean if not contaminated else [t for t, _, _h in times]
     med = statistics.median(basis)
     return {
         "sec": round(med, 3),
-        "best_sec": round(min(t for t, _ in times), 3),
-        "all_runs_sec": [round(t, 2) for t, _ in times],
-        "run_steal_pct": [s for _, s in times],
+        "best_sec": round(min(t for t, _, _h in times), 3),
+        "all_runs_sec": [round(t, 2) for t, _, _h in times],
+        "run_steal_pct": [s for _, s, _h in times],
+        "run_hw_rows_per_sec": [round(h) for _, _, h in times],
         "clean_runs": len(clean),
         "steal_contaminated": contaminated,
         "turns_per_sec": round(rows / med, 1),
-        "best_turns_per_sec": round(rows / min(t for t, _ in times), 1),
+        "best_turns_per_sec": round(rows / min(t for t, _, _h in times), 1),
         "cores": cores,
     }
 
@@ -373,6 +400,22 @@ def _hw_work(seed_ix: int) -> float:
     for r in rows:
         extract_turn(r["role"], r["text"])
     return len(rows) / (time.time() - t0)
+
+
+def _hw_probe_rate(procs: int) -> float:
+    """One best-of-2 bare-kernel rate reading at ``procs`` processes
+    (~1 s): the machine's concurrent capability at that parallelism,
+    taken immediately before a timed run so the run's engine rate can
+    be divided by a time-matched divisor. Best-of-2 because the probe
+    is a divisor — a contaminated (low) reading would inflate the
+    normalized rate, and contamination can only lower a reading."""
+    import multiprocessing as mp
+
+    totals = []
+    for _ in range(2):
+        with mp.Pool(procs) as pool:
+            totals.append(sum(pool.map(_hw_work, range(procs))))
+    return max(totals)
 
 
 def _hardware_ceiling(lo: int, hi: int) -> dict:
@@ -421,6 +464,50 @@ def _subprocess_json(args: list) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+PROBE_CONSISTENCY = 0.55  # per-level min/max probe self-consistency
+
+
+def _tm_norm_rates(level: dict, rows: int) -> list:
+    """Per-run (engine rate / time-matched machine rate) ratios over
+    the level's steal-clean runs (all runs when nothing is clean —
+    same fallback as the raw pooling). Empty if the level carries no
+    per-run probes (pre-r4 artifact shape)."""
+    hw = level.get("run_hw_rows_per_sec")
+    if not hw:
+        return []
+    trip = list(zip(level["all_runs_sec"], level["run_steal_pct"], hw))
+    clean = [(t, h) for t, s, h in trip if s <= STEAL_CLEAN_PCT]
+    use = clean or [(t, h) for t, _s, h in trip]
+    return [(rows / t) / h for t, h in use]
+
+
+def _probes_consistent(level: dict) -> bool:
+    hw = level.get("run_hw_rows_per_sec") or []
+    return bool(hw) and min(hw) >= PROBE_CONSISTENCY * max(hw)
+
+
+def _pooled_tm(attempts: list, rows: int) -> dict | None:
+    """Time-matched efficiency pooled across attempts: median over
+    per-run normalized rates from tm-valid attempts (all probe-bearing
+    attempts when none is tm-valid — recorded with tm_valid false)."""
+    valid = [a for a in attempts if a.get("tm_valid")]
+    usable = valid or [
+        a for a in attempts
+        if a[f"local{LO_CORES}"].get("run_hw_rows_per_sec")
+    ]
+    lo = [r for a in usable for r in _tm_norm_rates(a[f"local{LO_CORES}"], rows)]
+    hi = [r for a in usable for r in _tm_norm_rates(a[f"local{HI_CORES}"], rows)]
+    if not lo or not hi:
+        return None
+    return {
+        "efficiency_time_matched": round(
+            statistics.median(hi) / statistics.median(lo), 3
+        ),
+        "tm_valid": bool(valid),
+        "n_attempts_pooled": len(usable),
+    }
+
+
 def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     """One bracketed scaling pass: hw probe → lo level → hi level →
     hw probe, each Spark level in its own subprocess. Window-valid iff
@@ -465,6 +552,20 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
         for x in (lo, hi)
     )
     spread_ok = spread <= MAX_RUN_SPREAD
+    lo_norm = _tm_norm_rates(lo, rows)
+    hi_norm = _tm_norm_rates(hi, rows)
+    eff_tm = (
+        round(statistics.median(hi_norm) / statistics.median(lo_norm), 3)
+        if lo_norm and hi_norm
+        else None
+    )
+    tm_ok = bool(
+        eff_tm is not None
+        and _probes_consistent(lo)
+        and _probes_consistent(hi)
+        and steal_ok
+        and 0 < eff_tm <= MAX_EFF
+    )
     return {
         "attempt": idx,
         "runs_per_level": runs,
@@ -477,6 +578,8 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
         "steal_clean": steal_ok,
         "run_spread": round(spread, 2),
         "run_spread_sane": spread_ok,
+        "efficiency_time_matched": eff_tm,
+        "tm_valid": tm_ok,
         "window_valid": bool(
             hw_ok and steal_ok and spread_ok and 0 < eff <= MAX_EFF
         ),
@@ -741,11 +844,21 @@ def main() -> int:
             normalized = None
             if valid:
                 warnings.append("normalization skipped: implausible hw ceiling")
+        tm = _pooled_tm(attempts, rows)
         if not valid:
-            warnings.append(
-                "no window-valid scaling attempt: headline pooled over all "
-                "attempts; treat as measurement failure, not an engine number"
-            )
+            if tm and tm["tm_valid"]:
+                warnings.append(
+                    "no bracket-valid scaling attempt (raw headline is "
+                    "drift-deflated); the time-matched normalized "
+                    "efficiency stands — per-run probes were "
+                    "self-consistent and steal-clean"
+                )
+            else:
+                warnings.append(
+                    "no window-valid scaling attempt: headline pooled over "
+                    "all attempts; treat as measurement failure, not an "
+                    "engine number"
+                )
         detail["extract"] = {
             "rows": rows,
             "cores": {"lo": LO_CORES, "hi": HI_CORES},
@@ -753,6 +866,7 @@ def main() -> int:
             "window_valid": bool(valid),
             "first_attempt_efficiency": attempts[0]["efficiency"],
             "pooled": pooled,
+            "time_matched": tm,
             "attempts": attempts,
             "hw_ceiling_mean": hw_mean,
             "normalized_efficiency": normalized,
@@ -761,7 +875,10 @@ def main() -> int:
                 f"window-valid attempts (both bracketing hw probes in "
                 f"[{SANE_HW[0]}, {SANE_HW[1]}] and eff in (0, {MAX_EFF}]); "
                 "never max-of-attempts; all attempts recorded; second "
-                "attempt fires on budget projection alone (symmetric)"
+                "attempt fires on budget projection alone (symmetric); "
+                "time_matched = median(per-run engine/machine rate) ratio "
+                "hi/lo, ALWAYS reported alongside raw (drift-cancelling "
+                "— see module docstring)"
             ),
         }
         compact["extract"] = {
@@ -774,6 +891,10 @@ def main() -> int:
             "n_window_valid": len(valid),
             "hw_ceiling_mean": hw_mean,
             "normalized_efficiency": normalized,
+            "scaling_efficiency_time_matched": (
+                tm and tm["efficiency_time_matched"]
+            ),
+            "tm_valid": bool(tm and tm["tm_valid"]),
             "lo_turns_per_sec": pooled["lo_turns_per_sec"],
             "hi_turns_per_sec": pooled["hi_turns_per_sec"],
         }

@@ -95,3 +95,77 @@ def test_prev_round_loader_parses_driver_wrapper(tmp_path, monkeypatch):
 def test_prev_round_loader_handles_missing_artifacts(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "REPO", str(tmp_path))
     assert bench._load_prev_queries() == ("", {})
+
+
+# ---- time-matched normalization (round 4) ---------------------------
+
+def _level_hw(runs_sec, steal_pct, hw, cores):
+    lv = _level(runs_sec, steal_pct, cores)
+    lv["run_hw_rows_per_sec"] = list(hw)
+    return lv
+
+
+def _attempt_hw(lo, hi):
+    return {f"local{bench.LO_CORES}": lo, f"local{bench.HI_CORES}": hi}
+
+
+def test_time_matched_cancels_monotone_drift():
+    # A machine whose per-core speed decays 20% while the lo level
+    # runs (the measured r4 signature): raw efficiency is deflated,
+    # but dividing each run by its concurrent machine rate recovers
+    # the true engine efficiency exactly.
+    rows = 1000
+    true_eff = 0.9
+    # machine capability (relative): lo window 1.0 -> 0.8, hi steady 0.8
+    lo_caps = [1.0, 0.9, 0.8]
+    hi_caps = [0.8, 0.8, 0.8]
+    # engine rate scales with capability: lo_rate = k*cap, hi_rate =
+    # 4*true_eff*k*cap (same k). Use hw probe = 100*cap rows/s.
+    k = 50.0
+    lo_runs = [round(rows / (k * c), 3) for c in lo_caps]
+    hi_runs = [round(rows / (4 * true_eff * k * c), 3) for c in hi_caps]
+    lo = _level_hw(lo_runs, [0, 0, 0], [100 * c for c in lo_caps],
+                   bench.LO_CORES)
+    # the probe at the hi level runs at 4x the processes, so the
+    # machine's own 4x parallelism is inside the hi probe reading
+    hi4 = _level_hw(hi_runs, [0, 0, 0], [400 * c for c in hi_caps],
+                    bench.HI_CORES)
+    out = bench._pooled_tm([_attempt_hw(lo, hi4)], rows)
+    assert abs(out["efficiency_time_matched"] - true_eff) < 0.005
+    # and the raw pooled efficiency IS deflated by the drift
+    raw = bench._pooled_efficiency([_attempt_hw(lo, hi4)], rows)
+    assert raw["efficiency"] < true_eff - 0.02
+
+
+def test_time_matched_matches_raw_over_hw_in_quiet_window():
+    rows = 1000
+    lo = _level_hw([20.0, 20.0, 20.0], [0, 0, 0], [100, 100, 100],
+                   bench.LO_CORES)
+    hi = _level_hw([6.0, 6.0, 6.0], [0, 0, 0], [380, 380, 380],
+                   bench.HI_CORES)
+    out = bench._pooled_tm([_attempt_hw(lo, hi)], rows)
+    raw = bench._pooled_efficiency([_attempt_hw(lo, hi)], rows)
+    hw_eff = (380 / 100) / 4
+    assert abs(out["efficiency_time_matched"]
+               - raw["efficiency"] / hw_eff) < 0.005
+
+
+def test_collapsed_probe_voids_tm_validity():
+    lo_ok = _level_hw([20.0, 20.0], [0, 0], [100, 100], bench.LO_CORES)
+    lo_bad = _level_hw([20.0, 20.0], [0, 0], [100, 40], bench.LO_CORES)
+    assert bench._probes_consistent(lo_ok)
+    assert not bench._probes_consistent(lo_bad)  # 40 < 0.55*100
+
+
+def test_tm_norm_rates_filters_steal_like_raw_pool():
+    rows = 1000
+    lv = _level_hw([20.0, 20.0, 40.0], [0, 0, 20.0], [100, 100, 100],
+                   bench.LO_CORES)
+    rates = bench._tm_norm_rates(lv, rows)
+    assert len(rates) == 2  # contaminated run excluded
+    assert all(abs(r - (1000 / 20.0) / 100) < 1e-9 for r in rates)
+
+
+def test_tm_absent_on_pre_r4_attempt_shape():
+    a = _attempt([20.0, 20.0], [0, 0], [5.0, 5.0], [0, 0])
+    assert bench._pooled_tm([a], 1000) is None
