@@ -219,6 +219,8 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "curation_decontaminate",
     "curation_shuffle_permutation",
+    "vocab_pair_counts",
+    "kmeans_update_step",
 ]
 
 

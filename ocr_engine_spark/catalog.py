@@ -2433,6 +2433,174 @@ def q_curation_shuffle_permutation(spark: SparkSession, sf_dir: str) -> DataFram
     return curation.shuffle_permutation(docs).orderBy("doc_id")
 
 
+# ------------------------------- kmeans / vocab / PII / stream dedup
+
+_KMEANS_UPDATE_ORACLE = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+c1 AS (SELECT e FROM v WHERE vec_id = 1),
+c2 AS (SELECT e FROM v WHERE vec_id = 2),
+c3 AS (SELECT e FROM v WHERE vec_id = 3),
+c4 AS (SELECT e FROM v WHERE vec_id = 4),
+assign AS (
+  SELECT vec_id, list_position(dots, list_max(dots))::INT AS centroid
+  FROM (
+    SELECT v.vec_id,
+           [list_dot_product(v.e, c1.e), list_dot_product(v.e, c2.e),
+            list_dot_product(v.e, c3.e), list_dot_product(v.e, c4.e)] AS dots
+    FROM v, c1, c2, c3, c4)
+)
+SELECT assign.centroid,
+       count(*)::BIGINT AS n_members,
+       (g.i - 1)::INT AS dim_idx,
+       round(avg(v.e[g.i]), 6) AS centroid_val
+FROM v JOIN assign USING (vec_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+GROUP BY assign.centroid, g.i
+ORDER BY centroid, dim_idx
+"""
+
+
+@_register("kmeans_update_step", oracle=_KMEANS_UPDATE_ORACLE)
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration (assign to nearest literal
+    centroid, recompute per-dimension means): the iterative-algorithm
+    shape — driver collects the k·d result as the next literal
+    centroid set. One groupBy whose exchange carries k·(d+1) doubles
+    per partition, never vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    return similarity.kmeans_update(emb, cents).orderBy("centroid", "dim_idx")
+
+
+@_register(
+    "vocab_pair_counts",
+    oracle=f"""
+WITH tok AS (SELECT {TOKENS_SQL} AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM tok)
+SELECT pair, count(*)::BIGINT AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 50
+""",
+)
+def q_vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token-pair frequencies — the counting core of a
+    BPE/vocab-induction merge step. Explode fan-out is absorbed by
+    map-side partial aggregation; top-k runs as TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_pair_counts(docs, 50).orderBy(
+        F.desc("n"), F.asc("pair")
+    )
+
+
+# Deterministic PII augmentation shared by engine and oracle: the
+# corpus itself is PII-free (ASCII prose), so both sides append the
+# same synthetic email/phone/digit-run and the redaction must strip
+# exactly that.
+_PII_SUFFIX_SQL = (
+    "coalesce(text, '') || ' contact user' || doc_id || "
+    "'@example.com call 415-555-0199 ref ' || lpad(doc_id::VARCHAR, 6, '0')"
+)
+
+_PII_ORACLE = """
+WITH aug AS (SELECT doc_id, <SUF> AS t FROM documents),
+r1 AS (SELECT doc_id,
+         len(regexp_extract_all(t, '<RX_EMAIL>')) AS n_email,
+         regexp_replace(t, '<RX_EMAIL>', '<email>', 'g') AS t1 FROM aug),
+r2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '<RX_PHONE>')) AS n_phone,
+         regexp_replace(t1, '<RX_PHONE>', '<phone>', 'g') AS t2 FROM r1),
+r3 AS (SELECT doc_id, n_email, n_phone,
+         len(regexp_extract_all(t2, '<RX_DIGITS>')) AS n_digits,
+         regexp_replace(t2, '<RX_DIGITS>', '<digits>', 'g') AS t3 FROM r2)
+SELECT doc_id, t3 AS redacted,
+       n_email::BIGINT AS n_email,
+       n_phone::BIGINT AS n_phone,
+       n_digits::BIGINT AS n_digits
+FROM r3 ORDER BY doc_id
+""".replace("<SUF>", _PII_SUFFIX_SQL).replace(
+    "<RX_EMAIL>", curation.PII_PATTERNS[0][1]
+).replace(
+    "<RX_PHONE>", curation.PII_PATTERNS[1][1]
+).replace(
+    "<RX_DIGITS>", curation.PII_PATTERNS[2][1]
+)
+
+
+@_register("curation_redact_pii", oracle=_PII_ORACLE)
+def q_curation_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents augmented with a deterministic
+    synthetic email + phone + digit run (the corpus itself is
+    PII-free): typed placeholder tags, per-category counts, patterns
+    applied in a fixed order so nothing double-counts. Pure native
+    regexp projections — no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            # ref token pinned to EXACTLY 6 digits: at >= 9 digit-ish
+            # chars the earlier-ordered phone pattern would claim it
+            F.lit("@example.com call 415-555-0199 ref "),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        ).alias("text"),
+    )
+    return curation.redact_pii(docs).orderBy("doc_id")
+
+
+@_register(
+    "streaming_dedup_first_seen",
+    oracle=f"""
+SELECT DISTINCT md5({NORMALIZED_SQL}) AS fingerprint,
+       {NORMALIZED_SQL} AS text_norm
+FROM documents
+ORDER BY fingerprint
+""",
+)
+def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver hash: documents recast
+    as transcripts are written as TWO files — the corpus, then a file
+    of duplicate copies of every 10th document — and streamed with
+    maxFilesPerTrigger=1 so the duplicates arrive in a LATER
+    micro-batch and must be dropped by dropDuplicatesWithinWatermark
+    state, not by within-batch dedup. The surviving (fingerprint,
+    normalized text) set equals the corpus' distinct set."""
+    import tempfile
+    import uuid
+
+    from .streaming.extract_stream import (
+        build_dedup_stream,
+        read_transcripts_stream,
+    )
+
+    base = transcripts_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ocr-stream-dedup-")
+    in_dir = os.path.join(tmp, "in")
+    base.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    dups = base.filter(F.col("conv_id").cast("long") % 10 == 0).withColumn(
+        "conv_id", F.concat(F.lit("dup-"), F.col("conv_id"))
+    )
+    dups.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_transcripts_stream(spark, in_dir, max_files_per_trigger=1)
+    deduped = build_dedup_stream(stream)
+    qname = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("fingerprint")
+
+
 # ---------------------------------------------------------------- API
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -243,3 +243,37 @@ def shuffle_permutation(
             (F.col("offset") + F.col("pos_in_bucket")).alias("shuffle_pos"),
         )
     )
+
+
+PII_PATTERNS = (
+    # (tag, regex) — applied in order; conservative patterns that parse
+    # identically under Java regex (Spark) and RE2 (DuckDB/production
+    # scanners): no backrefs, no lookaround.
+    ("<email>", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("<phone>", "\\+?[0-9][0-9 ()-]{7,}[0-9]"),
+    ("<digits>", "[0-9]{6,}"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace email / phone-shaped / long-digit-run
+    matches with typed placeholder tags and count what was redacted
+    per category. The pre-training privacy pass next to
+    :func:`decontaminate`'s eval-leak pass.
+
+    Scale: pure per-row native ``regexp_replace`` / ``regexp_count``
+    projections — no shuffle, no UDF, whole-stage codegen; ordering of
+    the patterns is fixed so a phone inside an email never
+    double-counts (each pattern runs on the previous pattern's
+    output)."""
+    out = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for tag, rx in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(rx), 0))
+            .cast("long")
+            .alias("n_" + tag.strip("<>"))
+        )
+        out = F.regexp_replace(out, rx, tag)
+    return docs.select(F.col(id_col), out.alias("redacted"), *counts)

@@ -428,3 +428,41 @@ def ivf_pq_topk(emb: DataFrame, centroids: List[List[float]],
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_update(emb: DataFrame, centroids: List[List[float]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd's-iteration update step: assign every vector to its
+    nearest (max-dot) centroid, then recompute each centroid as the
+    per-dimension mean of its members. Returns one row per
+    (centroid, dim_idx) with the updated coordinate (rounded 6 dp for
+    engine-portable comparison) and the cluster size. Iterating =
+    collect the k·d result (a parameter fetch — k centroids × d dims,
+    NOT data) and feed it back as the next literal centroid set; the
+    driver-coordinated loop is the standard k-means shape on Spark.
+
+    Scale: assignment is a literal-centroid projection (no join, no
+    broadcast); the update is ONE groupBy(centroid) whose aggregation
+    state is d means + a count per cluster — partial aggregation
+    combines map-side, so the exchange carries k rows per partition
+    (k·(d+1) doubles), never vectors. The per-dim means use d
+    element_at aggregates rather than a posexplode, which would
+    multiply the shuffle input ×d before combining."""
+    dim = len(centroids[0])
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i).cast("double")).alias(f"_d{i}")
+        for i in range(1, dim + 1)
+    ]
+    g = (
+        emb.select(ivf_assign_col(centroids, vec_col).alias("centroid"),
+                   F.col(vec_col))
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_members"), *aggs)
+    )
+    updated = F.array(*[F.round(F.col(f"_d{i}"), 6) for i in range(1, dim + 1)])
+    return g.select(
+        "centroid",
+        "n_members",
+        F.posexplode(updated).alias("dim_idx", "centroid_val"),
+    )

@@ -168,3 +168,34 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return spread_to_parallelism(docs).select(
         F.col(id_col), F.col(text_col)
     ).mapInPandas(run, ddl)
+
+
+def vocab_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Adjacent token-pair frequencies, top-``k`` by (count desc, pair
+    asc) — the counting core of one BPE/vocab-induction merge step
+    (count all adjacent symbol pairs, take the most frequent). Pairs
+    keep MULTIPLICITY (unlike shingles): zip of the token array with
+    its shift, exploded, counted.
+
+    Scale: the explode fan-out is ~tokens-per-doc × docs, but the
+    groupBy(pair) partial-aggregates map-side, so the exchange carries
+    (pair, partial count) — vocabulary-sized, not corpus-sized. The
+    top-k is ORDER BY + LIMIT, which Spark runs as TakeOrdered
+    (per-partition heaps, k rows shuffled — no global sort)."""
+    from ..functions import textfns as X
+
+    toks = X.tokens_col(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -197,3 +197,39 @@ def build_conv_stats_stream(stream: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def build_dedup_stream(stream: DataFrame, watermark: str = "1 hour",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: one surviving row per content
+    fingerprint across ALL micro-batches — the incremental twin of the
+    batch ``dedup.exact_dedup_groups``. ``dropDuplicatesWithinWatermark``
+    on the fingerprint is state-backed: a fingerprint seen in any
+    earlier micro-batch is dropped (state retained for the watermark
+    delay), which is first-seen-wins ingestion dedup. Plain
+    ``dropDuplicates(["fingerprint"])`` would never evict its state —
+    watermark cleanup there requires the event-time column IN the
+    dedup key, which would defeat the dedup; the WithinWatermark
+    variant exists for exactly this shape.
+
+    The emitted columns are (fingerprint, text_norm): every duplicate
+    shares the normalized text by construction (the fingerprint is
+    md5 OF the normalized text), so the output is deterministic even
+    though WHICH physical duplicate row survives is not.
+
+    Scale: state is one entry per DISTINCT fingerprint, sharded by the
+    groupBy hash across executors; the event-time watermark bounds it
+    for true streams. At 100 TB ingest the state store holds
+    fingerprints (16 B each), never documents."""
+    from ..functions import textfns as X
+
+    fp = stream.select(
+        X.fingerprint_col(text_col).alias("fingerprint"),
+        X.normalized_text_col(text_col).alias("text_norm"),
+        F.col("ts"),
+    )
+    return (
+        fp.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint", "text_norm")
+    )
