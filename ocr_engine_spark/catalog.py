@@ -2601,6 +2601,120 @@ def q_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("fingerprint")
 
 
+# The cosine ranking used inside each probed list (shared fragment).
+_IVF_COS_RANK = """
+SELECT v.vec_id,
+       round(list_dot_product(v.e, q.qe)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+"""
+
+_IVF_TRAINED_ORACLE = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+c1 AS (SELECT e FROM v WHERE vec_id = 1),
+c2 AS (SELECT e FROM v WHERE vec_id = 2),
+c3 AS (SELECT e FROM v WHERE vec_id = 3),
+c4 AS (SELECT e FROM v WHERE vec_id = 4),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+seeds AS (SELECT 1 AS j, c1.e FROM c1 UNION ALL SELECT 2, c2.e FROM c2
+          UNION ALL SELECT 3, c3.e FROM c3 UNION ALL SELECT 4, c4.e FROM c4),
+assign0 AS (
+  SELECT vec_id, list_position(dots, list_max(dots))::INT AS centroid
+  FROM (
+    SELECT v.vec_id,
+           [list_dot_product(v.e, c1.e), list_dot_product(v.e, c2.e),
+            list_dot_product(v.e, c3.e), list_dot_product(v.e, c4.e)] AS dots
+    FROM v, c1, c2, c3, c4)
+),
+cent1 AS (
+  SELECT centroid, list(val ORDER BY i) AS e FROM (
+    SELECT a.centroid AS centroid, g.i AS i, round(avg(v.e[g.i]), 6) AS val
+    FROM v JOIN assign0 a USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    GROUP BY a.centroid, g.i)
+  GROUP BY centroid
+),
+cent1f AS (
+  SELECT seeds.j AS centroid, coalesce(cent1.e, seeds.e) AS e
+  FROM seeds LEFT JOIN cent1 ON cent1.centroid = seeds.j
+),
+assign1 AS (
+  SELECT vec_id, centroid FROM (
+    SELECT v.vec_id, m.centroid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.e, m.e) DESC,
+                                       m.centroid) AS rn
+    FROM v CROSS JOIN cent1f m) WHERE rn = 1
+),
+probe0 AS (
+  SELECT j AS i FROM (
+    SELECT seeds.j,
+           row_number() OVER (ORDER BY list_dot_product(q.qe, seeds.e) DESC,
+                              seeds.j) AS rn
+    FROM q CROSS JOIN seeds) WHERE rn = 1
+),
+probe1 AS (
+  SELECT centroid AS i FROM (
+    SELECT m.centroid,
+           row_number() OVER (ORDER BY list_dot_product(q.qe, m.e) DESC,
+                              m.centroid) AS rn
+    FROM q CROSS JOIN cent1f m) WHERE rn = 1
+),
+brute AS (SELECT vec_id FROM ({BRUTE}) b),
+top0 AS (
+  {COS} FROM v JOIN assign0 ON v.vec_id = assign0.vec_id, q
+  WHERE assign0.centroid IN (SELECT i FROM probe0)
+  ORDER BY cosine DESC, v.vec_id LIMIT 10
+),
+top1 AS (
+  {COS} FROM v JOIN assign1 ON v.vec_id = assign1.vec_id, q
+  WHERE assign1.centroid IN (SELECT i FROM probe1)
+  ORDER BY cosine DESC, v.vec_id LIMIT 10
+)
+SELECT 'seed' AS centroids,
+       (SELECT count(*) FROM top0 JOIN brute USING (vec_id))::BIGINT AS hits,
+       round((SELECT count(*) FROM top0 JOIN brute USING (vec_id)) / 10.0, 6)
+         AS recall
+UNION ALL
+SELECT 'trained',
+       (SELECT count(*) FROM top1 JOIN brute USING (vec_id))::BIGINT,
+       round((SELECT count(*) FROM top1 JOIN brute USING (vec_id)) / 10.0, 6)
+ORDER BY centroids
+""".replace("{BRUTE}", _ANN_BRUTE_ORACLE).replace("{COS}", _IVF_COS_RANK)
+
+
+@_register("ann_ivf_trained_recall", oracle=_IVF_TRAINED_ORACLE)
+def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means feeding IVF — the end-to-end training story: one
+    Lloyd's iteration over the seed centroids (collected as a k·d
+    parameter fetch), then IVF recall@10 at nprobe=1 under seed vs
+    trained centroid sets, side by side. The oracle replays the full
+    chain in SQL: assignment → per-dim means (rounded 6 dp, the same
+    literals Spark feeds back) → re-assignment → probe → in-list
+    cosine ranking → recall join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents0 = similarity.centroid_vectors(emb, _IVF_CENTROID_IDS)
+    cents1 = similarity.kmeans_centroids(emb, cents0)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    brute = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    parts = []
+    for tag, cents in (("seed", cents0), ("trained", cents1)):
+        top = similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=1).select(
+            "vec_id"
+        )
+        parts.append(
+            top.join(F.broadcast(brute), "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(tag).alias("centroids"),
+                F.col("hits").cast("long").alias("hits"),
+                F.round(F.col("hits") / 10.0, 6).alias("recall"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("centroids")
+
+
 # ---------------------------------------------------------------- API
 
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -466,3 +466,27 @@ def kmeans_update(emb: DataFrame, centroids: List[List[float]],
         "n_members",
         F.posexplode(updated).alias("dim_idx", "centroid_val"),
     )
+
+
+def kmeans_centroids(emb: DataFrame, centroids: List[List[float]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> List[List[float]]:
+    """Collect one :func:`kmeans_update` result as the next literal
+    centroid set — a k·d parameter fetch (k centroids × d dims of
+    doubles), NOT a data collect; this is the per-iteration driver
+    hop of the standard k-means-on-Spark loop. A cluster that lost
+    every member keeps its previous centroid (the usual empty-cluster
+    fallback). Coordinates come back rounded to 6 dp (kmeans_update's
+    engine-portable rounding), so downstream assignment is exactly
+    reproducible on any engine fed the same literals."""
+    rows = kmeans_update(emb, centroids, id_col, vec_col).collect()
+    byc: dict = {}
+    for r in rows:
+        byc.setdefault(r["centroid"], {})[r["dim_idx"]] = float(r["centroid_val"])
+    dim = len(centroids[0])
+    return [
+        [byc[j + 1][d] for d in range(dim)]
+        if (j + 1) in byc
+        else [float(x) for x in centroids[j]]
+        for j in range(len(centroids))
+    ]

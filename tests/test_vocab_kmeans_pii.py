@@ -157,3 +157,16 @@ def test_streaming_dedup_drops_across_micro_batches(spark, tmp_path):
     ]
     # progress shows >1 micro-batch (maxFilesPerTrigger=1, 2 files)
     assert len(q.recentProgress) >= 2
+
+
+def test_kmeans_centroids_collect_and_empty_cluster_fallback(spark):
+    emb = _emb(spark)
+    cents = similarity.centroid_vectors(emb, (0, 1, 2))
+    got = similarity.kmeans_centroids(emb, cents)
+    assert len(got) == 3 and all(len(c) == 8 for c in got)
+    # assignment is max-DOT: a strongly negative centroid scores below
+    # every real one on this all-positive corpus, captures nothing,
+    # and must keep its coordinates (empty-cluster fallback)
+    far = [[-9.0] * 8] + cents
+    got2 = similarity.kmeans_centroids(emb, far)
+    assert got2[0] == [-9.0] * 8
