@@ -171,7 +171,7 @@ CACHE = os.path.join(REPO, ".bench", f"transcripts-v1-{N_CONVS}")
 # passes (BASELINE.md: skew 43-60 s; headline 51 s/round at 24
 # queries, ~65 s at the widened 30-query list; session+warm ~25 s).
 SKEW_COST_S = 75.0
-HEADLINE_ROUND_S = 70.0
+HEADLINE_ROUND_S = 85.0  # reserve estimate; the loop itself is self-measuring
 HEADLINE_FIXED_S = 30.0
 # A runs=2 retry attempt costs ~this fraction of the measured runs=3
 # first attempt (fixed costs — warms, session starts, probes —

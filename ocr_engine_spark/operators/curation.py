@@ -79,6 +79,7 @@ def quota_per_source(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Per-source quota: keep each source's top-``n`` documents by
     quality score (ties → lowest id). Caps any one domain's share of
@@ -86,21 +87,31 @@ def quota_per_source(
     :func:`stratified_sample`'s rate knob.
 
     Scale: one shuffle on ``source``. Source is a natural skew hazard
-    (a crawl is dominated by a few hosts); rank-within-group needs no
-    full sort per group — Spark's WindowExec only buffers a partition,
-    and for top-N-per-key at extreme skew the salt-then-global-top
-    rewrite (rank within (source, salt), re-rank the ≤ salt·n
-    survivors) bounds any single task at salt·n rows. At n=5 the
-    survivor side is tiny.
-    """
+    (a crawl is dominated by a few hosts); ``salt_buckets > 1``
+    switches to the salt-then-re-rank rewrite: rank within
+    (source, hash-salt) first — every task bounded at ~rows/salt of
+    the hottest source — keep each shard's top-n, then re-rank the
+    ≤ salt·n survivors per source (a tiny second window). Output is
+    IDENTICAL for any salt (the survivor set provably contains the
+    true top-n: a row in the true top-n is in the top-n of its own
+    shard), pinned by test."""
     q = X.quality_score_col(text_col)
-    w = Window.partitionBy(source_col).orderBy(
-        F.desc("quality"), F.col(id_col).asc()
-    )
-    return (
-        docs.select(source_col, id_col, q.alias("quality"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n)
+    scored = docs.select(source_col, id_col, q.alias("quality"))
+    order = (F.desc("quality"), F.col(id_col).asc())
+    if salt_buckets > 1:
+        shard_w = Window.partitionBy(source_col, "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt",
+                F.pmod(_decision_hash(id_col, "quota"), F.lit(salt_buckets)),
+            )
+            .withColumn("_srk", F.row_number().over(shard_w))
+            .where(F.col("_srk") <= n)
+            .drop("_salt", "_srk")
+        )
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= n
     )
 
 

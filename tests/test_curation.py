@@ -125,3 +125,19 @@ def test_shuffle_permutation_total_and_matches_global_window(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_quota_salted_rewrite_identical(spark):
+    docs = _docs(spark, n=240)
+    base = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in curation.quota_per_source(docs, 5).collect()
+    )
+    for salt in (2, 4, 7):
+        salted = sorted(
+            (r["source"], r["doc_id"], r["rk"])
+            for r in curation.quota_per_source(
+                docs, 5, salt_buckets=salt
+            ).collect()
+        )
+        assert salted == base
