@@ -2433,6 +2433,103 @@ def q_curation_shuffle_permutation(spark: SparkSession, sf_dir: str) -> DataFram
     return curation.shuffle_permutation(docs).orderBy("doc_id")
 
 
+_CURATION_PIPELINE_ORACLE = """
+WITH sampled AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE <HASH_SAMPLE> % 100 < CASE WHEN lang = 'en' THEN 40 ELSE 100 END
+),
+tokall AS (SELECT doc_id, <TOKENS> AS t FROM documents),
+shing AS (SELECT doc_id, unnest(<SHINGLES>) AS shingle FROM tokall),
+bench AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM shing s JOIN bench USING (shingle)),
+clean AS (
+  SELECT s.* FROM sampled s LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL),
+scored AS (
+  SELECT source, doc_id,
+         round(0.4 * least(len(t) / 100.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (punct::DOUBLE / total) * 4.0)
+             + 0.3 * least(len(list_filter(t,
+                   x -> x IN ('the','a','an','and','or','of','to','in','is','it')
+                 ))::DOUBLE / greatest(len(t), 1) * 5.0, 1.0), 6) AS quality
+  FROM (
+    SELECT source, doc_id, <TOKENS> AS t,
+           greatest(length(coalesce(text, '')), 1) AS total,
+           length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''),
+               '[^a-zA-Z0-9 \t\n\r]', '', 'g')) AS punct
+    FROM clean)),
+quota AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rk
+    FROM scored) WHERE rk <= 15),
+surv AS (SELECT c.* FROM clean c JOIN quota USING (doc_id)),
+packed AS (
+  SELECT doc_id, lang, pack_shard, n_tokens, cum_tokens::BIGINT AS cum_tokens,
+         floor((cum_tokens - n_tokens) / 512.0)::BIGINT AS bin_idx
+  FROM (
+    SELECT doc_id, lang, pack_shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_tokens
+    FROM (
+      SELECT doc_id, lang, floor(doc_id / 200.0)::BIGINT AS pack_shard,
+             len(<TOKENS>)::BIGINT AS n_tokens
+      FROM surv))),
+perm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY <HASH_SHUFFLE>, doc_id)
+           AS shuffle_pos
+  FROM surv)
+SELECT p.doc_id, p.lang, p.pack_shard, p.n_tokens, p.cum_tokens, p.bin_idx,
+       perm.shuffle_pos
+FROM packed p JOIN perm USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@_register("curation_pipeline")
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five curation operators COMPOSED end-to-end — the shape a
+    real pre-training corpus build takes: stratified sample (en→40%) →
+    drop benchmark-contaminated docs (anti-join on the broadcast
+    decontamination flags) → per-source quality quota (top-15) →
+    shard-local sequence packing → deterministic training-order
+    permutation over the survivors. Composition adds only doc_id
+    equi-joins between already-oracled stages; every decision is a
+    row-local hash or a bounded window, so the whole pipeline is
+    rerun-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = curation.stratified_sample(docs, {"en": 40})
+    flags = curation.decontaminate(docs, bench_mod=97)
+    clean = sampled.join(
+        flags.where(F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    kept = curation.quota_per_source(clean, 15).select("doc_id")
+    surv = clean.join(kept, "doc_id")
+    packed = curation.pack_sequences(surv, budget=512, shard_rows=200)
+    perm = curation.shuffle_permutation(surv)
+    return (
+        packed.join(perm, "doc_id")
+        .select(
+            "doc_id", "lang", "pack_shard", "n_tokens", "cum_tokens",
+            "bin_idx", "shuffle_pos",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLES["curation_pipeline"] = (
+    _CURATION_PIPELINE_ORACLE
+    .replace("<HASH_SAMPLE>", HASH60_SQL.format(x="doc_id::VARCHAR || ':sample'"))
+    .replace("<HASH_SHUFFLE>", HASH60_SQL.format(x="doc_id::VARCHAR || ':shuffle'"))
+    .replace("<SHINGLES>", SHINGLES_SQL.format(t="t"))
+    .replace("<TOKENS>", TOKENS_SQL)
+)
+
+
 # ------------------------------- kmeans / vocab / PII / stream dedup
 
 _KMEANS_UPDATE_ORACLE = """
