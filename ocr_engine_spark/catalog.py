@@ -2530,6 +2530,66 @@ _ORACLES["curation_pipeline"] = (
 )
 
 
+@_register(
+    "bucketed_join_doc_embeddings",
+    oracle="""
+SELECT d.doc_id, d.lang,
+       len(<TOKENS>)::BIGINT AS n_tokens,
+       round(sqrt(list_dot_product(
+           list_transform(e.embedding, x -> x::DOUBLE),
+           list_transform(e.embedding, x -> x::DOUBLE))), 6) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+""".replace("<TOKENS>", TOKENS_SQL.replace("text", "d.text")),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via write-time bucketing: documents and
+    embeddings are each saved bucketed 8-ways on the join key, then
+    joined with broadcast disabled — the planner elides BOTH exchanges
+    (bucketing metadata proves co-partitioning; asserted on the plan
+    by tests/test_tableio_format.py). The 100 TB shape: pay one
+    shuffle at ingest for tables that are joined repeatedly, never
+    shuffle them again. Result hash-verified against the plain SQL
+    join."""
+    from .functions import textfns as X
+    from .sources.tableio import write_bucketed_table
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    write_bucketed_table(docs, "bj_documents", 8)
+    write_bucketed_table(emb, "bj_embeddings", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding", "embedding",
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = (
+            spark.table("bj_documents")
+            .join(spark.table("bj_embeddings"), "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                X.ws_token_count_col("text").cast("long").alias("n_tokens"),
+                F.round(F.sqrt(dot), 6).alias("emb_norm"),
+            )
+            .orderBy("doc_id")
+        )
+        # materialization happens in the driver's collect; the conf
+        # only matters at planning time, which .queryExecution forces
+        out.collect()
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # ------------------------------- kmeans / vocab / PII / stream dedup
 
 _KMEANS_UPDATE_ORACLE = """

@@ -334,3 +334,26 @@ def read_audit(spark: SparkSession, path: str) -> Optional[DataFrame]:
 
 def append_audit(df: DataFrame, path: str) -> None:
     df.write.mode("append").format(table_format()).save(path)
+
+
+def write_bucketed_table(df: DataFrame, name: str, buckets: int,
+                         key: str = "doc_id") -> None:
+    """Write ``df`` as a BUCKETED table: rows hash-partitioned on
+    ``key`` into ``buckets`` files per partition at WRITE time, with
+    the bucketing recorded in the catalog. Equi-joins and aggregations
+    on ``key`` between tables bucketed the same way then run with
+    ZERO exchange — the co-located-join move for 100 TB tables that
+    are joined repeatedly (documents ⋈ embeddings by id: pay one
+    shuffle at ingest, never again). Iceberg's production equivalent
+    is the ``bucket(N, key)`` partition transform + storage-partitioned
+    joins; Spark's bucketBy requires saveAsTable (the catalog carries
+    the bucketing metadata the planner needs to elide the exchange).
+    Rows are also sorted within buckets so merge joins skip their sort.
+    """
+    (
+        df.write.mode("overwrite")
+        .format(table_format())
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )

@@ -73,3 +73,31 @@ def test_extract_plan_swaps_to_orc(spark, tmp_path, orc_format):
     stats2 = _run(spark, in_path, out_path, audit_path)
     assert stats2["resumed_buckets_skipped"] == stats["buckets_processed"]
     assert stats2["buckets_processed"] == 0
+
+
+def test_bucketed_join_elides_both_exchanges(spark):
+    """Co-located join: two tables bucketed 8-ways on the key, joined
+    with broadcast disabled, must plan with ZERO Exchange operators —
+    the write-time shuffle is the only shuffle these tables ever pay."""
+    from pyspark.sql import functions as F
+
+    from ocr_engine_spark.sources.tableio import write_bucketed_table
+
+    a = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("x")
+    )
+    b = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 7).alias("y")
+    )
+    write_bucketed_table(a, "t_buck_a", 8)
+    write_bucketed_table(b, "t_buck_b", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_buck_a").join(spark.table("t_buck_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["doc_id"]: (r["x"], r["y"]) for r in j.collect()}
+        assert got == {i: (i * 3, i + 7) for i in range(200)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
