@@ -350,6 +350,17 @@ def write_bucketed_table(df: DataFrame, name: str, buckets: int,
     the bucketing metadata the planner needs to elide the exchange).
     Rows are also sorted within buckets so merge joins skip their sort.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a FRESH session's in-memory catalog doesn't know about a prior
+    # run's managed-table directory, and saveAsTable refuses to adopt
+    # it (LOCATION_ALREADY_EXISTS) — clear the orphaned location too
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = wh[len("file:"):] if wh.startswith("file:") else wh
+    if loc:
+        import shutil
+
+        shutil.rmtree(os.path.join(loc, name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .format(table_format())
