@@ -2590,6 +2590,55 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+@_register(
+    "asof_click_view_events",
+    oracle="""
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id, ts, event_id, value
+          FROM events WHERE event_type = 'view')
+SELECT c.click_id, c.user_id,
+       v.event_id AS view_id,
+       v.value AS view_value,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.click_id
+""",
+)
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every click matched to the same user's
+    latest at-or-before view (id, value, and the microsecond lag) —
+    Spark has no ASOF JOIN, so this runs the union-tag + one-window
+    rewrite (operators/asof.py: one exchange, no join, no range
+    blow-up); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    rewrite is verified against an independent first-class
+    implementation of the semantics."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(clicks, views, key="user_id", ts="ts",
+                  payload=("ts", "event_id", "value"))
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_value").alias("view_value"),
+        # events.ts reads as TIMESTAMP_NTZ; the cast interprets it in
+        # the session tz (pinned UTC) matching DuckDB's naive epoch_us
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("click_id")
+
+
 # ------------------------------- kmeans / vocab / PII / stream dedup
 
 _KMEANS_UPDATE_ORACLE = """
