@@ -2639,6 +2639,60 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+_SESSION_CORE_SQL = """
+  SELECT event_id, user_id, value,
+         epoch_us(ts) AS tus,
+         sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > {gap_us}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts, value,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+    FROM events)
+""".replace("{gap_us}", str(21600 * 1_000_000))
+
+
+@_register(
+    "sessionize_events",
+    oracle=f"""
+SELECT event_id, user_id, session_idx::BIGINT AS session_idx
+FROM ({_SESSION_CORE_SQL})
+ORDER BY event_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h gap): one exchange on the key,
+    lag + running sum over one window — no self-join."""
+    from .operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_s=21600).orderBy("event_id")
+
+
+@_register(
+    "session_stats_events",
+    oracle=f"""
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       (max(tus) - min(tus))::BIGINT AS duration_us,
+       round(sum(value), 6) AS value_sum
+FROM ({_SESSION_CORE_SQL})
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates over the sessionized stream: count,
+    duration, value sum — partial-aggregated on (key, session_idx)."""
+    from .operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_s=21600).orderBy("user_id", "session_idx")
+
+
 # ------------------------------- kmeans / vocab / PII / stream dedup
 
 _KMEANS_UPDATE_ORACLE = """

@@ -110,3 +110,31 @@ def test_asof_matches_bruteforce_on_random_data(spark):
 
     want = {lid: brute(uid, t) for lid, uid, t in lefts_rows}
     assert got == want
+
+
+def test_sessionize_gap_boundary_and_order(spark):
+    from ocr_engine_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        # user 1: gaps of exactly 10s (same session: > gap is strict),
+        # 10.000001s (new session), first event (new)
+        (1, 1, _ts(0), 1.0),
+        (2, 1, _ts(10), 2.0),                      # 10s == gap -> same
+        (3, 1, _ts(10) + datetime.timedelta(microseconds=10_000_001), 4.0),
+        (4, 2, _ts(5), 8.0),                        # other key independent
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap_s=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["value_sum"])
+        for r in session_stats(ev, gap_s=10).collect()
+    }
+    assert stats[(1, 1)] == (2, 3.0)
+    assert stats[(1, 2)] == (1, 4.0)
+    assert stats[(2, 1)] == (1, 8.0)
