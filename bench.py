@@ -221,6 +221,8 @@ HEADLINE = [
     "curation_shuffle_permutation",
     "vocab_pair_counts",
     "kmeans_update_step",
+    "asof_click_view_events",
+    "session_stats_events",
 ]
 
 

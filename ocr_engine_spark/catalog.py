@@ -2693,6 +2693,146 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_s=21600).orderBy("user_id", "session_idx")
 
 
+# ---------------------------------------- relational-surface queries
+
+@_register(
+    "rollup_docs_lang_source",
+    oracle="""
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus report via ROLLUP — (lang, source), per-lang
+    subtotals, grand total in ONE pass: Spark expands the grouping
+    sets inside a single partial-aggregated exchange rather than
+    unioning three scans."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "pivot_user_event_counts",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+           for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot. The pivot values are DECLARED (the
+    five known types), so Spark skips the extra distinct-values scan
+    and plans one partial-aggregated exchange — at 100 TB an undeclared
+    pivot would scan twice."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+@_register(
+    "percentiles_by_event_type",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``). Exact percentile buffers the group's
+    values — the scale path is ``approx_percentile`` (t-digest-style
+    mergeable sketch, pytest-pinned vs a rank-error bound below)
+    whose result is NOT engine-portable, so the exact form carries
+    the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "ntile_quality_chunks",
+    oracle="""
+SELECT chunk, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM (
+  SELECT doc_id, ntile(16) OVER (ORDER BY doc_id) AS chunk
+  FROM documents)
+GROUP BY chunk
+ORDER BY chunk
+""",
+)
+def q_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced 16-way chunking via ntile — the pre-sharding move for
+    equal-size work units. The global-order window is the documented
+    anti-pattern at scale; the scale path is
+    ``curation.shuffle_permutation``'s bucketed enumeration (then
+    ``chunk = (pos - 1) * 16 / rows``), which this query's output
+    shape matches — the oracle pins the semantics the scale path must
+    reproduce."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    chunked = docs.select(
+        "doc_id",
+        F.ntile(16).over(Window.orderBy("doc_id")).alias("chunk"),
+    )
+    return (
+        chunked.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("chunk")
+    )
+
+
 # ------------------------------- kmeans / vocab / PII / stream dedup
 
 _KMEANS_UPDATE_ORACLE = """
