@@ -2693,6 +2693,74 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_s=21600).orderBy("user_id", "session_idx")
 
 
+# session_window merge rule: an event exactly `gap` after its
+# predecessor starts a NEW session (window end is exclusive) — note
+# the >= vs the batch sessionizer's strict >.
+_SESSION_WINDOW_ORACLE = """
+WITH sess AS (
+  SELECT user_id, value, epoch_us(ts) AS tus,
+         sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= {gap_us}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM (
+    SELECT event_id, user_id, ts, value,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+    FROM events))
+SELECT user_id, min(tus)::BIGINT AS start_us,
+       (max(tus) + {gap_us})::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, s
+ORDER BY user_id, start_us
+""".replace("{gap_us}", str(21600 * 1_000_000))
+
+
+@_register("streaming_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Structured-Streaming sessionization under the driver
+    hash: events streamed from a materialized dir through
+    ``F.session_window`` (per-key merging session state across
+    micro-batches), collected complete-mode. Oracle = the gap replay
+    with session_window's >= boundary; together with
+    sessionize_events this pins batch vs streaming session semantics
+    INCLUDING their one-instant boundary difference."""
+    import tempfile
+    import uuid
+
+    from .streaming.extract_stream import (
+        EVENTS_STREAM_DDL,
+        build_session_window_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="ocr-stream-sess-")
+    in_dir = os.path.join(tmp, "in")
+    ev.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_DDL).parquet(in_dir)
+    sessions = build_session_window_stream(stream, gap="6 hours")
+    qname = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "start_us")
+
+
 # ---------------------------------------- relational-surface queries
 
 @_register(

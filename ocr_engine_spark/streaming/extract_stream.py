@@ -233,3 +233,40 @@ def build_dedup_stream(stream: DataFrame, watermark: str = "1 hour",
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select("fingerprint", "text_norm")
     )
+
+
+EVENTS_STREAM_DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def build_session_window_stream(stream: DataFrame, gap: str = "6 hours",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Native Structured-Streaming sessionization:
+    ``F.session_window(ts, gap)`` merges events whose [ts, ts+gap)
+    windows overlap, maintaining per-key session state across
+    micro-batches — the streaming twin of
+    ``operators.sessions.sessionize``. Boundary semantics differ by
+    one instant from the batch form and are pinned by the oracle: a
+    successor exactly ``gap`` later starts a NEW session here
+    (window end is exclusive), while the batch rule keeps strictly
+    ``> gap`` only. Emitted per session: key, start/end (end = last
+    event + gap), event count, value sum."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("win"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.unix_micros(F.col("win.end")).alias("end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
