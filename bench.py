@@ -223,6 +223,7 @@ HEADLINE = [
     "kmeans_update_step",
     "asof_click_view_events",
     "session_stats_events",
+    "tpch_q1_pricing_summary",
 ]
 
 

@@ -2761,6 +2761,164 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("user_id", "start_us")
 
 
+# --------------------------------------------- TPC-H classics + JSON
+
+# Money math is done in DECIMAL so both engines accumulate EXACTLY and
+# the value hash is meaningful — double sums over 60k rows diverge in
+# the last digits between summation orders. Final values convert to
+# double only after the exact sum (2-decimal totals < 2^53 are exact
+# doubles), and averages are derived sum/count, rounded 6.
+_D = "DECIMAL(18,2)"
+
+_TPCH_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::{_D}))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::{_D}))::DOUBLE AS sum_base_price,
+       (sum(l_extendedprice::{_D} * (1 - l_discount::{_D})))::DOUBLE
+         AS sum_disc_price,
+       (sum(l_extendedprice::{_D} * (1 - l_discount::{_D})
+            * (1 + l_tax::{_D})))::DOUBLE AS sum_charge,
+       round((sum(l_quantity::{_D}))::DOUBLE / count(*), 6) AS avg_qty,
+       round((sum(l_extendedprice::{_D}))::DOUBLE / count(*), 6) AS avg_price,
+       round((sum(l_discount::{_D}))::DOUBLE / count(*), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("tpch_q1_pricing_summary", oracle=_TPCH_Q1_ORACLE)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) over the driver's lineitem:
+    one scan with the shipdate filter PUSHED to parquet, one
+    partial-aggregated exchange carrying 4 decimal sums + a count per
+    (returnflag, linestatus). Money sums are decimal-exact (see module
+    comment) — the whole-stage-codegen aggregate of a columnar scan,
+    the canonical OLAP plan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    d = lambda c: F.col(c).cast(_D)  # noqa: E731
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).alias("_sq"),
+        F.sum(d("l_extendedprice")).alias("_sbp"),
+        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("_sdp"),
+        F.sum(
+            d("l_extendedprice") * (F.lit(1) - d("l_discount"))
+            * (F.lit(1) + d("l_tax"))
+        ).alias("_sc"),
+        F.sum(d("l_discount")).alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_sbp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_TPCH_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       (sum(l.l_extendedprice::{_D} * (1 - l.l_discount::{_D})))::DOUBLE
+         AS revenue,
+       o.o_orderdate::DATE::VARCHAR AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < timestamp '1998-06-01'
+  AND l.l_shipdate > timestamp '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("tpch_q3_shipping_priority", oracle=_TPCH_Q3_ORACLE)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to the driver's schema:
+    o_orderpriority stands in for o_shippriority): selective dimension
+    filters pushed to both scans, customer side BROADCAST into orders,
+    the join result partially aggregated before the top-10 TakeOrdered.
+    Revenue is decimal-exact."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    d = lambda c: F.col(c).cast(_D)  # noqa: E731
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd")
+            .alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "json_props_extract_events",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50
+                THEN 1 ELSE 0 END)::BIGINT AS k_over_50,
+       round(avg(json_extract_string(props, '$.k')::INT), 6) AS k_avg
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events.props JSON string
+    queried with a JSON path (native get_json_object — JVM-side
+    Jackson, no UDF), aggregated per event type. At 100 TB the move is
+    identical — JSON path extraction is a scan-side projection;
+    repeated heavy access argues for materializing the field as a
+    typed column at ingest (schema evolution, not a different plan)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((k > 50).cast("long")).alias("k_over_50"),
+            F.round(F.avg(k), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------- relational-surface queries
 
 @_register(
