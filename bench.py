@@ -114,7 +114,17 @@ Three parts:
    noop sink, **median of 3 interleaved rounds** (VERDICT r2 item 2;
    single-shot timings made r1→r2 regressions indistinguishable from
    steal windows), with per-query spread reported and any query whose
-   median regresses >1.5× vs BENCH_r02 flagged.
+   median AND min both regress >1.5× vs the last parseable round
+   flagged (min-guard: a one-burst outlier median cannot flag alone).
+
+4. **Coverage tier**: one timed run at sf0.01 for every catalog query
+   without headline history (timings in the DETAIL file), so no
+   catalog query is ever fully untimed.
+
+The final stdout line is budgeted to ≤1800 bytes (the driver records
+only the last 2000 chars; r2-r4 artifacts were ``parsed: null`` from
+head-clipped oversized lines) — full evidence always lands in the
+committed ``BENCH_DETAIL_r{N}.json`` side file.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 BENCH_CONVS (default 100000 ≈ 0.62M turns incl. the mega tail — short
@@ -127,8 +137,10 @@ steal-contaminated levels top up with ≤2 extra runs),
 BENCH_QUERY_RUNS (default 3; the first 2 rounds are guaranteed, the
 3rd runs only when the measured round time projects inside budget),
 BENCH_LO_CORES / BENCH_HI_CORES (default 4 / 16), BENCH_RETRY=0 to
-disable the bounded retry, BENCH_BUDGET_S (wall-clock budget guard,
-default 500 — the driver kills ~10 min).
+disable the bounded retry, BENCH_COVERAGE=0 to skip the coverage tier
+(BENCH_COVERAGE_SF_DIR, default /root/testdata/sf0.01),
+BENCH_BUDGET_S (wall-clock budget guard, default 500 — the driver
+kills ~10 min).
 """
 
 from __future__ import annotations
@@ -184,6 +196,20 @@ KILL_GUARD_S = float(os.environ.get("BENCH_KILL_GUARD_S", "585"))
 
 T_START = time.time()
 
+# Hard cap for the FINAL printed JSON line. The driver records only the
+# last 2000 chars of stdout (BENCH_r04.json: tail is exactly 2000,
+# head-clipped → parsed null three rounds running); 1800 leaves margin
+# for any trailing newline/log interleave. Everything that doesn't fit
+# lives in BENCH_DETAIL_r{N}.json, always.
+LINE_BUDGET = 1800
+
+# Coverage tier: single-run timings at this (cheap) scale for every
+# catalog query with no headline history, so a regression in them is
+# visible at all (VERDICT r4 item 4). Timings land in the DETAIL file.
+COVERAGE_SF_DIR = os.environ.get(
+    "BENCH_COVERAGE_SF_DIR", "/root/testdata/sf0.01"
+)
+
 HEADLINE = [
     "flagship_extract",
     "p1_payload_kind",
@@ -229,6 +255,44 @@ HEADLINE = [
 
 def _elapsed() -> float:
     return time.time() - T_START
+
+
+def _fit_line(compact: dict) -> str:
+    """Serialize ``compact`` to ONE JSON line guaranteed to fit
+    ``LINE_BUDGET`` bytes (the driver's stdout tail capture is 2000
+    chars; an oversized line is head-clipped → ``parsed: null``, the
+    r2-r4 failure mode). Sheds in a fixed priority order, mutating
+    ``compact`` in place — the full data is already in the DETAIL file
+    before this runs:
+
+    1. truncate warnings to the first 2, 90 chars each;
+    2. drop per-query medians FASTEST-first (the slow ones carry the
+       signal), counting the drops in ``queries_omitted``;
+    3. drop query_regressions / warnings / queries wholesale.
+
+    Never sheds: metric, value, unit, sf, extract (scaling + skew
+    evidence), headline_rounds, detail_file.
+    """
+    line = json.dumps(compact)
+    if len(line) <= LINE_BUDGET:
+        return line
+    if compact.get("warnings"):
+        compact["warnings"] = [w[:90] for w in compact["warnings"][:2]]
+        line = json.dumps(compact)
+    q = compact.get("queries")
+    if q and len(line) > LINE_BUDGET:
+        for name in sorted(q, key=q.get):  # fastest first
+            if len(line) <= LINE_BUDGET:
+                break
+            q.pop(name)
+            compact["queries_omitted"] = compact.get("queries_omitted", 0) + 1
+            line = json.dumps(compact)
+    for k in ("query_regressions", "warnings", "queries", "queries_omitted"):
+        if len(line) <= LINE_BUDGET:
+            break
+        compact.pop(k, None)
+        line = json.dumps(compact)
+    return line
 
 
 def _local_bench_extras() -> dict:
@@ -733,6 +797,29 @@ def _load_prev_queries() -> tuple:
     return "", {}
 
 
+def _flag_regressions(
+    qtimes: dict, qmins: dict, prev: dict, prev_round: str
+) -> dict:
+    """A query is flagged as a regression only when its median AND its
+    min both regress ≥1.5× vs the last parseable round's median
+    (VERDICT r4 item 3: with 2 headline rounds, the median is a single
+    steal-burst outlier's hostage — r4 flagged 3 zero-code-change
+    queries whose MIN was actually faster). Publishes both numbers so
+    the judge can see which bound fired."""
+    return {
+        n: {
+            f"{prev_round}_sec": prev[n],
+            "median_sec": qtimes[n],
+            "min_sec": qmins[n],
+        }
+        for n in qtimes
+        if n in prev
+        and prev[n] > 0
+        and qtimes[n] > 1.5 * prev[n]
+        and qmins[n] > 1.5 * prev[n]
+    }
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--time-level":
         master, cores, rows, runs = (
@@ -769,16 +856,10 @@ def main() -> int:
             compact["detail_file"] = os.path.basename(detail_path)
         except Exception as e:
             compact["detail_file_error"] = str(e)[:120]
-        line = json.dumps(compact)
-        # Belt-and-braces against the r3 failure mode (driver tail
-        # capture clipped an oversized line): shed optional keys
-        # before ever emitting an unparseable artifact.
-        for k in ("query_regressions", "warnings"):
-            if len(line) <= 4096:
-                break
-            compact.pop(k, None)
-            line = json.dumps(compact)
-        print(line)
+        # The r2-r4 failure mode was an oversized final line clipped by
+        # the driver's 2000-char tail capture; _fit_line guarantees the
+        # budget (unit-tested incl. a worst-case synthetic compact).
+        print(_fit_line(compact))
         return 0
 
     # ---- parts 1-2: corpus → skew → scaling attempts -----------------
@@ -886,15 +967,14 @@ def main() -> int:
                 "— see module docstring)"
             ),
         }
+        # Compact carries only the headline scaling numbers + validity
+        # flags; attempt counts / hw ceiling / per-run evidence are in
+        # the DETAIL file (the final line must fit LINE_BUDGET).
         compact["extract"] = {
             "rows": rows,
             "cores": {"lo": LO_CORES, "hi": HI_CORES},
             "scaling_efficiency": pooled["efficiency"],
             "window_valid": bool(valid),
-            "first_attempt_efficiency": attempts[0]["efficiency"],
-            "n_attempts": len(attempts),
-            "n_window_valid": len(valid),
-            "hw_ceiling_mean": hw_mean,
             "normalized_efficiency": normalized,
             "scaling_efficiency_time_matched": (
                 tm and tm["efficiency_time_matched"]
@@ -955,23 +1035,62 @@ def main() -> int:
                 _noop(qs[name](spark, SF_DIR))
                 runs_by_query[name].append(round(time.time() - t0, 3))
             round_secs.append(time.time() - t_r)
+
+        # ---- part 4: coverage tier (VERDICT r4 item 4) ----------------
+        # One timed run at sf0.01 for every catalog query with no
+        # headline history (streaming ones included — they are
+        # availableNow-bounded), so a regression in them is visible at
+        # all. Evidence lives in the DETAIL file only; kill-guarded per
+        # query so an overrun degrades to a shorter list, never a
+        # killed (artifact-less) bench.
+        if os.environ.get("BENCH_COVERAGE", "1") != "0" and os.path.isdir(
+            COVERAGE_SF_DIR
+        ):
+            cov: dict = {}
+            cov_skipped: list = []
+            for name in qs:
+                if name in HEADLINE:
+                    continue
+                if _elapsed() > KILL_GUARD_S - 25:
+                    cov_skipped = [
+                        n for n in qs if n not in HEADLINE and n not in cov
+                    ]
+                    warnings.append(
+                        f"coverage tier truncated at {len(cov)} queries: "
+                        "driver-kill guard"
+                    )
+                    break
+                t0 = time.time()
+                try:
+                    _noop(qs[name](spark, COVERAGE_SF_DIR))
+                    cov[name] = round(time.time() - t0, 3)
+                except Exception as e:
+                    cov[name] = None
+                    warnings.append(f"coverage {name} failed: {e}"[:120])
+            detail["coverage_timings"] = {
+                "sf_dir": COVERAGE_SF_DIR,
+                "runs": 1,
+                "secs": cov,
+                "skipped": cov_skipped,
+            }
     finally:
         spark.stop()
 
     qtimes = {n: round(statistics.median(ts), 3) for n, ts in runs_by_query.items()}
+    qmins = {n: round(min(ts), 3) for n, ts in runs_by_query.items()}
     compact["queries"] = qtimes
     compact["value"] = round(sum(qtimes.values()), 3)
     compact["headline_rounds"] = len(round_secs)
+    # Full medians + mins ALWAYS in the detail file — the compact line
+    # may shed per-query entries to fit the driver's tail capture.
+    detail["queries_median"] = qtimes
+    detail["queries_min"] = qmins
     detail["query_spread"] = {
         n: {"min": min(ts), "max": max(ts), "runs": ts}
         for n, ts in runs_by_query.items()
     }
     prev_round, prev = _load_prev_queries()
-    regressions = {
-        n: {f"{prev_round}_sec": prev[n], "median_sec": qtimes[n]}
-        for n in qtimes
-        if n in prev and prev[n] > 0 and qtimes[n] > 1.5 * prev[n]
-    }
+    regressions = _flag_regressions(qtimes, qmins, prev, prev_round)
     if regressions:
         compact["query_regressions"] = {"vs": prev_round, **regressions}
         detail["query_regressions"] = {"vs": prev_round, **regressions}

@@ -169,3 +169,127 @@ def test_tm_norm_rates_filters_steal_like_raw_pool():
 def test_tm_absent_on_pre_r4_attempt_shape():
     a = _attempt([20.0, 20.0], [0, 0], [5.0, 5.0], [0, 0])
     assert bench._pooled_tm([a], 1000) is None
+
+
+# ---- final-line budget (round 5: driver tail capture is 2000 chars) --
+
+def _worst_case_compact():
+    """A compact dict at least as large as any real round produces:
+    80 long-named queries, a full extract block, regressions, and
+    maximal warnings."""
+    queries = {
+        f"winnow_containment_documents_variant_{i:02d}": round(
+            0.11 * (i + 1), 3
+        )
+        for i in range(80)
+    }
+    return {
+        "sf": 0.1,
+        "unit": "sec",
+        "extract": {
+            "rows": 3400000,
+            "cores": {"lo": 4, "hi": 16},
+            "scaling_efficiency": 0.865,
+            "window_valid": False,
+            "normalized_efficiency": None,
+            "scaling_efficiency_time_matched": 0.979,
+            "tm_valid": True,
+            "lo_turns_per_sec": 31092.8,
+            "hi_turns_per_sec": 107549.6,
+            "skew": {
+                "salt1_spread": 19.68,
+                "salt8_spread": 4.77,
+                "salt1_task_ms_max": 6593,
+                "salt8_task_ms_max": 1399,
+            },
+        },
+        "metric": "headline_queries_total",
+        "queries": queries,
+        "value": 123.456,
+        "headline_rounds": 3,
+        "query_regressions": {
+            "vs": "r04",
+            **{
+                f"winnow_containment_documents_variant_{i:02d}": {
+                    "r04_sec": 1.0,
+                    "median_sec": 2.0,
+                    "min_sec": 1.9,
+                }
+                for i in range(10)
+            },
+        },
+        "warnings": [
+            "second scaling attempt skipped: budget projection (210s "
+            "elapsed + ~140s retry would starve the skew/headline "
+            "reserve)",
+            "no window-valid scaling attempt: headline pooled over all "
+            "attempts; treat as measurement failure, not an engine "
+            "number",
+            "coverage tier truncated at 12 queries: driver-kill guard",
+        ],
+        "detail_file": "BENCH_DETAIL_r05.json",
+    }
+
+
+def test_fit_line_worst_case_fits_driver_tail_capture():
+    compact = _worst_case_compact()
+    line = bench._fit_line(compact)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    # the never-shed core survives
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 123.456
+    assert parsed["extract"]["scaling_efficiency"] == 0.865
+    assert parsed["extract"]["tm_valid"] is True
+    assert parsed["extract"]["skew"]["salt8_spread"] == 4.77
+    assert parsed["detail_file"] == "BENCH_DETAIL_r05.json"
+
+
+def test_fit_line_sheds_fastest_queries_first():
+    compact = _worst_case_compact()
+    line = bench._fit_line(compact)
+    parsed = json.loads(line)
+    q = parsed.get("queries", {})
+    if q:
+        # survivors must be the SLOWEST ones
+        kept = min(q.values())
+        assert kept >= 0.11 * (parsed["queries_omitted"])
+
+
+def test_fit_line_small_compact_untouched():
+    compact = {"metric": "m", "value": 1.0, "queries": {"a": 1.0}}
+    line = bench._fit_line(compact)
+    assert json.loads(line) == {
+        "metric": "m", "value": 1.0, "queries": {"a": 1.0}
+    }
+
+
+def test_fit_line_real_r05_shape_keeps_most_queries():
+    # the REAL round shape (the actual HEADLINE list, one warning):
+    # must fit the budget while keeping (nearly) all per-query medians
+    # — shedding a few fastest entries is fine, losing the dict is not
+    compact = _worst_case_compact()
+    compact["queries"] = {n: 12.345 for n in bench.HEADLINE}
+    compact.pop("query_regressions")
+    compact["warnings"] = compact["warnings"][:1]
+    line = bench._fit_line(compact)
+    assert len(line) <= bench.LINE_BUDGET
+    kept = json.loads(line).get("queries", {})
+    assert len(kept) >= len(bench.HEADLINE) - 6
+
+
+# ---- regression min-guard (round 5) ----------------------------------
+
+def test_regression_needs_median_and_min():
+    prev = {"q_noise": 2.6, "q_real": 1.0, "q_fine": 1.0}
+    qtimes = {"q_noise": 7.0, "q_real": 2.0, "q_fine": 1.1}
+    qmins = {"q_noise": 1.7, "q_real": 1.8, "q_fine": 1.0}
+    out = bench._flag_regressions(qtimes, qmins, prev, "r04")
+    # q_noise: median regressed 2.7x but min is FASTER -> not flagged
+    # (the exact r4 minhash_lsh_candidates false positive)
+    assert "q_noise" not in out
+    # q_real: both median (2x) and min (1.8x) regressed -> flagged
+    assert out["q_real"] == {
+        "r04_sec": 1.0, "median_sec": 2.0, "min_sec": 1.8
+    }
+    assert "q_fine" not in out
