@@ -70,3 +70,19 @@ def test_entry_returns_expected_columns():
     src = inspect.getsource(e.entry)
     for col in ("conv_id", "turn_idx", "extracted_text", "spans"):
         assert col in src
+
+
+def test_driver_priority_rotation():
+    """VERDICT r4 item 2: the driver's correctness artifact caps at 50
+    entries, in queries() dict order — never-driver-recorded queries
+    must come FIRST so every catalog entry accumulates a driver row.
+    Pins: (a) every priority name actually exists in the registry (a
+    typo would silently de-prioritize it), (b) the priority block leads
+    the dict, (c) it fits inside the 50-entry driver budget."""
+    from ocr_engine_spark.catalog import _DRIVER_PRIORITY, queries
+
+    q = list(queries())
+    missing = [n for n in _DRIVER_PRIORITY if n not in set(q)]
+    assert not missing, missing
+    assert q[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+    assert len(_DRIVER_PRIORITY) <= 50
