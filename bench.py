@@ -250,6 +250,9 @@ HEADLINE = [
     "asof_click_view_events",
     "session_stats_events",
     "tpch_q1_pricing_summary",
+    # round-5: the three-tier composition (extraction → audit rollup →
+    # as-of → sessionization) — the flagship story end-to-end
+    "flagship_sessions_asof",
 ]
 
 
