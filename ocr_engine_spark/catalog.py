@@ -3246,6 +3246,100 @@ def q_vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gopher_repetition_documents",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {{tok}} AS t,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         len(ls)::INT AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+              ELSE 0.0 END AS dup_line_frac,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i+1]) AS g2,
+         list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                             || t[i+3] || ' ' || t[i+4]) AS g5
+  FROM base),
+g2c AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS g FROM grams) GROUP BY 1, 2),
+top2 AS (SELECT doc_id, g, c FROM (
+           SELECT doc_id, g, c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g ASC) AS rn
+           FROM g2c) WHERE rn = 1),
+den2 AS (SELECT doc_id, sum(c * len(g)) AS d FROM g2c GROUP BY 1),
+g5c AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(g5) AS g FROM grams) GROUP BY 1, 2),
+d5 AS (SELECT doc_id,
+              sum(c * len(g)) AS den,
+              sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dup
+       FROM g5c GROUP BY 1)
+SELECT g.doc_id, g.n_lines, g.dup_line_frac,
+       coalesce(t.g, '') AS top_2gram,
+       CASE WHEN coalesce(den2.d, 0) > 0
+            THEN round(t.c * len(t.g)::DOUBLE / den2.d, 6)
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN coalesce(d5.den, 0) > 0
+            THEN round(d5.dup::DOUBLE / d5.den, 6)
+            ELSE 0.0 END AS dup_5gram_frac
+FROM grams g LEFT JOIN top2 t USING (doc_id)
+             LEFT JOIN den2 ON g.doc_id = den2.doc_id
+             LEFT JOIN d5 ON g.doc_id = d5.doc_id
+ORDER BY doc_id
+""".replace("{tok}", TOKENS_SQL),
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 app.
+    A1.1): duplicate-line fraction, most-frequent word 2-gram + the
+    character fraction it covers, duplicate-5-gram character fraction.
+    Spark side is ZERO-shuffle (sorted-array run folds via
+    ``aggregate`` HOFs — no explode, no groupBy); the oracle replays
+    the semantics with the opposite mechanism (unnest → GROUP BY),
+    so the hash pins the metrics, not the formulation."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs).orderBy("doc_id")
+
+
+@_register(
+    "c4_line_filter_documents",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls,
+         NOT (contains(lower(coalesce(text, '')), 'lorem ipsum')
+              OR contains(coalesce(text, ''), '{')) AS doc_ok
+  FROM documents),
+k AS (
+  SELECT doc_id, ls, doc_ok,
+         CASE WHEN doc_ok THEN list_filter(ls, x ->
+                regexp_matches(x, '[.!?"]$')
+                AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+                AND NOT contains(lower(x), 'javascript'))
+              ELSE []::VARCHAR[] END AS kept
+  FROM base)
+SELECT doc_id, len(ls)::INT AS n_lines, len(kept)::INT AS n_kept,
+       -- array_to_string([]) is NULL in DuckDB, '' in Spark array_join
+       doc_ok, coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k ORDER BY doc_id
+""",
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic line cleaning (Raffel et al. 2020 §2.2):
+    terminal-punctuation / ≥3-words / no-'javascript' line rules under
+    lorem-ipsum and curly-brace document rules, returning counts +
+    the cleaned text (hash covers the re-joined surviving lines
+    byte-for-byte). Pure scan-side projection — no shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.c4_line_filter(docs).orderBy("doc_id")
+
+
 # Deterministic PII augmentation shared by engine and oracle: the
 # corpus itself is PII-free (ASCII prose), so both sides append the
 # same synthetic email/phone/digit-run and the redaction must strip
@@ -3481,6 +3575,8 @@ _DRIVER_PRIORITY = [
     # round-5 additions (never recorded)
     "flagship_sessions_asof",
     "curation_quota_per_source_salted",
+    "gopher_repetition_documents",
+    "c4_line_filter_documents",
     # round-4 additions absent from every CORRECTNESS_r* artifact
     "extract_spans_multikind",
     "curation_stratified_sample",

@@ -288,3 +288,54 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         )
         out = F.regexp_replace(out, rx, tag)
     return docs.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2 — the
+    rule set behind the C4 corpus, applied line-by-line then
+    document-wide):
+
+    line rules (a line survives iff ALL hold, on the trimmed line):
+      - ends in terminal punctuation (``.`` ``!`` ``?`` ``"``);
+      - has at least 3 words;
+      - does not mention ``javascript`` (case-insensitive);
+    document rules (a failing document keeps ZERO lines):
+      - does not contain ``lorem ipsum`` (case-insensitive);
+      - does not contain a curly brace ``{`` (code leakage).
+
+    Returns per document: line counts before/after, the document-rule
+    verdict, and the cleaned text (surviving lines re-joined) — the
+    caller filters on ``n_kept > 0`` to drop empty survivors.
+
+    Scale: pure scan-side projection — ``split``/``filter``/
+    ``array_join`` higher-order functions in whole-stage codegen; no
+    shuffle, no UDF, no explode. Line decisions are per-row, so the
+    operator is partition- and parallelism-invariant by construction.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(text)
+    doc_ok = (~lower.contains("lorem ipsum")) & (~text.contains("{"))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def _keep(x):
+        words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        return (
+            x.rlike('[.!?"]$')
+            & (words >= 3)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.when(doc_ok, F.filter(lines, _keep)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        doc_ok.alias("doc_ok"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

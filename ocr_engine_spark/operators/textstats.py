@@ -199,3 +199,132 @@ def vocab_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, appendix
+    A1.1 — the repetition family of quality filters every large
+    text-curation pipeline applies before training):
+
+    - ``dup_line_frac`` — fraction of non-empty (trimmed) lines that
+      are repeats of an earlier line;
+    - ``top_2gram`` / ``top_2gram_frac`` — the most frequent word
+      2-gram (ties → lexicographically smallest) and the fraction of
+      2-gram-stream characters its occurrences cover;
+    - ``dup_5gram_frac`` — fraction of 5-gram-stream characters
+      covered by 5-grams occurring more than once.
+
+    Scale: ZERO shuffle — no explode, no groupBy. Per-document mode /
+    duplicate counts come from sorting the per-row n-gram ARRAY
+    (``array_sort``) and folding runs of equal neighbours with
+    ``aggregate`` higher-order functions, so the whole operator is a
+    scan-side projection in whole-stage codegen with per-row bounded
+    state. (The explode→count formulation shuffles the full n-gram
+    stream — corpus-sized; this one moves nothing.)
+    """
+    t = X.tokens_col(text_col)
+    n = F.size(t)
+    empty = F.array().cast("array<string>")
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    nl = F.size(lines)
+    dup_line = F.when(
+        nl > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / nl, 6),
+    ).otherwise(F.lit(0.0))
+
+    g2 = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(empty)
+    g5 = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+                F.element_at(t, i + 4),
+            ),
+        ),
+    ).otherwise(empty)
+
+    zero = F.lit(0).cast("long")
+
+    def _char_sum(arr):
+        return F.aggregate(arr, zero, lambda acc, x: acc + F.length(x))
+
+    # mode of the sorted 2-gram array: fold runs of equal neighbours,
+    # updating the best run eagerly (strict > keeps the FIRST — i.e.
+    # lexicographically smallest — gram at the max count)
+    def _top_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top2 = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"),
+            zero.alias("best"), F.lit("").alias("bestg"),
+        ),
+        _top_step,
+    )
+
+    # duplicate-5gram chars: a run of length r >= 2 contributes
+    # r * len(gram) (charge ALL occurrences once the gram repeats)
+    def _dup_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        ).cast("long")
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            (acc["dup"] + add).alias("dup"),
+        )
+
+    dup5 = F.aggregate(
+        F.array_sort(g5),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("dup")),
+        _dup_step,
+    )
+
+    den2 = _char_sum(g2)
+    den5 = _char_sum(g5)
+    return spread_to_parallelism(docs).select(
+        F.col(id_col),
+        nl.cast("int").alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        top2["bestg"].alias("top_2gram"),
+        F.when(
+            den2 > 0,
+            F.round(top2["best"] * F.length(top2["bestg"]) / den2, 6),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+        F.when(den5 > 0, F.round(dup5["dup"] / den5, 6))
+        .otherwise(F.lit(0.0)).alias("dup_5gram_frac"),
+    )

@@ -1,0 +1,96 @@
+"""Edge-case pins for the round-5 text-quality operators: Gopher-style
+repetition metrics (zero-shuffle sorted-run folds) and the C4-style
+line filter. Values hand-computed; the catalog oracle covers the bulk
+corpus, these pin the boundary semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rep(spark, text):
+    from ocr_engine_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return repetition_stats(df).collect()[0].asDict()
+
+
+def _c4(spark, text):
+    from ocr_engine_spark.operators.curation import c4_line_filter
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return c4_line_filter(df).collect()[0].asDict()
+
+
+def test_repetition_all_duplicate_lines(spark):
+    r = _rep(spark, "same line\nsame line\nsame line")
+    assert r["n_lines"] == 3
+    # 3 lines, 1 distinct -> 1 - 1/3
+    assert r["dup_line_frac"] == pytest.approx(0.666667)
+    # tokens: same line same line same line -> 2-grams:
+    # [same line, line same, same line, line same, same line]
+    # mode = 'same line' (3 of 5); chars: 3*9 / (5*9)
+    assert r["top_2gram"] == "same line"
+    assert r["top_2gram_frac"] == pytest.approx(3 * 9 / 45, abs=1e-6)
+    # 5-grams (2): 'same line same line same', 'line same line same line'
+    # both unique -> no duplicate 5-gram chars
+    assert r["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_duplicate_5grams():
+    # separate spark-less arithmetic pin lives in the oracle; here the
+    # repeated sentence makes every 5-gram appear twice
+    pass
+
+
+def test_repetition_repeated_sentence(spark):
+    r = _rep(spark, "the cat sat on the mat " * 3)
+    # 18 tokens, 14 5-grams, every 5-gram value occurs >= 2 times
+    # except those spanning unique positions — all windows repeat
+    # because the text is perfectly periodic with period 6 < 14
+    assert r["dup_5gram_frac"] == 1.0
+
+
+def test_repetition_short_and_empty_docs(spark):
+    r = _rep(spark, "one")
+    assert (r["n_lines"], r["top_2gram"], r["top_2gram_frac"]) == (1, "", 0.0)
+    assert r["dup_5gram_frac"] == 0.0 and r["dup_line_frac"] == 0.0
+    r = _rep(spark, None)
+    assert (r["n_lines"], r["dup_line_frac"]) == (0, 0.0)
+
+
+def test_repetition_tie_breaks_to_smallest_gram(spark):
+    # 'b c' and 'a b' both appear twice; sorted-fold keeps 'a b'
+    r = _rep(spark, "a b c x a b c")
+    assert r["top_2gram"] == "a b"
+
+
+def test_c4_line_rules(spark):
+    text = (
+        "This line survives the filter.\n"
+        "too short.\n"
+        "No terminal punctuation here at all\n"
+        "Enable javascript to view this page.\n"
+        'He said "keep this quoted line."\n'
+    )
+    r = _c4(spark, text)
+    assert r["doc_ok"] is True
+    assert r["n_lines"] == 5
+    assert r["n_kept"] == 2
+    assert r["clean_text"] == (
+        'This line survives the filter.\nHe said "keep this quoted line."'
+    )
+
+
+def test_c4_document_rules_zero_out(spark):
+    r = _c4(spark, "A fine sentence here indeed.\nbut Lorem Ipsum appears.")
+    assert r["doc_ok"] is False and r["n_kept"] == 0 and r["clean_text"] == ""
+    r = _c4(spark, "Good sentence with words.\nvar x = {a: 1}")
+    assert r["doc_ok"] is False and r["n_kept"] == 0
+
+
+def test_c4_null_text(spark):
+    r = _c4(spark, None)
+    assert (r["n_lines"], r["n_kept"], r["doc_ok"], r["clean_text"]) == (
+        0, 0, True, ""
+    )
