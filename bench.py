@@ -784,10 +784,12 @@ def _detail_path() -> str:
 
 
 def _load_prev_queries() -> tuple:
-    """Per-query timings from the latest PARSEABLE round artifact for
-    the regression flags (falls back past rounds whose recorded line
-    was unparseable, e.g. r3's clipped tail); tolerant of the driver's
-    artifact wrapper. Returns (round_name, {query: sec})."""
+    """Per-query timings from the latest round with ANY parseable
+    evidence, for the regression flags: the driver's BENCH_r{N}.json
+    line if it parsed, else the committed BENCH_DETAIL_r{N}.json side
+    file (r3/r4's driver lines were tail-clipped but their detail
+    files carry full per-query evidence). Returns
+    (round_name, {query: median_sec})."""
     for n, path in _recorded_rounds():
         try:
             with open(path) as f:
@@ -795,6 +797,18 @@ def _load_prev_queries() -> tuple:
             q = (d.get("parsed") or d).get("queries") or {}
         except Exception:
             q = {}
+        if not q:
+            detail = os.path.join(REPO, f"BENCH_DETAIL_r{n:02d}.json")
+            try:
+                with open(detail) as f:
+                    dd = json.load(f)
+                q = dd.get("queries_median") or {
+                    name: round(statistics.median(s["runs"]), 3)
+                    for name, s in (dd.get("query_spread") or {}).items()
+                    if s.get("runs")
+                }
+            except Exception:
+                q = {}
         if q:
             return f"r{n:02d}", q
     return "", {}

@@ -293,3 +293,26 @@ def test_regression_needs_median_and_min():
         "r04_sec": 1.0, "median_sec": 2.0, "min_sec": 1.8
     }
     assert "q_fine" not in out
+
+
+def test_prev_round_loader_falls_back_to_detail_file(tmp_path, monkeypatch):
+    # r4's driver line was tail-clipped (parsed null) but its committed
+    # DETAIL side file has the medians — the loader must use them
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_DETAIL_r04.json").write_text(
+        json.dumps({"query_spread": {"q": {"runs": [2.0, 1.0, 3.0]}}})
+    )
+    name, prev = bench._load_prev_queries()
+    assert name == "r04"
+    assert prev == {"q": 2.0}
+
+
+def test_prev_round_loader_prefers_queries_median_key(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_DETAIL_r05.json").write_text(
+        json.dumps({"queries_median": {"q": 1.25},
+                    "query_spread": {"q": {"runs": [9.0]}}})
+    )
+    assert bench._load_prev_queries() == ("r05", {"q": 1.25})
