@@ -1095,7 +1095,9 @@ def main() -> int:
 
     qtimes = {n: round(statistics.median(ts), 3) for n, ts in runs_by_query.items()}
     qmins = {n: round(min(ts), 3) for n, ts in runs_by_query.items()}
-    compact["queries"] = qtimes
+    # copy: _fit_line may shed entries from the compact dict, and the
+    # detail file must keep the full medians
+    compact["queries"] = dict(qtimes)
     compact["value"] = round(sum(qtimes.values()), 3)
     compact["headline_rounds"] = len(round_secs)
     # Full medians + mins ALWAYS in the detail file — the compact line
