@@ -308,9 +308,9 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     verdict, and the cleaned text (surviving lines re-joined) — the
     caller filters on ``n_kept > 0`` to drop empty survivors.
 
-    Scale: pure scan-side projection — ``split``/``filter``/
-    ``array_join`` higher-order functions in whole-stage codegen; no
-    shuffle, no UDF, no explode. Line decisions are per-row, so the
+    Scale: pure scan-side JVM projection — ``split``/``filter``/
+    ``array_join`` higher-order functions; no shuffle, no UDF, no
+    explode, no Arrow crossing. Line decisions are per-row, so the
     operator is partition- and parallelism-invariant by construction.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))

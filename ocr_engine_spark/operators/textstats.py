@@ -219,9 +219,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     duplicate counts come from sorting the per-row n-gram ARRAY
     (``array_sort``) and folding runs of equal neighbours with
     ``aggregate`` higher-order functions, so the whole operator is a
-    scan-side projection in whole-stage codegen with per-row bounded
-    state. (The explode→count formulation shuffles the full n-gram
-    stream — corpus-sized; this one moves nothing.)
+    scan-side JVM projection with per-row bounded state (HOFs execute
+    as codegen'd expression trees per row, outside the whole-stage
+    fusion span — still no Python, no Arrow crossing). The
+    explode→count formulation shuffles the full n-gram stream —
+    corpus-sized; this one moves nothing.
     """
     t = X.tokens_col(text_col)
     n = F.size(t)
