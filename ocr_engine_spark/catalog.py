@@ -3306,6 +3306,116 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(docs).orderBy("doc_id")
 
 
+def _gopher_full_oracle() -> str:
+    """Generate the 13-metric oracle for the full Gopher A1.1 family.
+    Deliberately the OPPOSITE mechanism to the Spark side (unnest →
+    GROUP BY → window/top per doc vs per-row sorted-array folds), so
+    the hash pins the metric definitions, not the formulation."""
+
+    def gram(k: int) -> str:
+        parts = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                                   for j in range(k))
+        return (f"list_transform(generate_series(1, greatest(len(t) - "
+                f"{k - 1}, 0)), i -> {parts}) AS g{k}")
+
+    top_ks, dup_ks = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    ctes, cols, joins = [], [], []
+    for k in top_ks + dup_ks:
+        ctes.append(
+            f"gc{k} AS (SELECT doc_id, g, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest(g{k}) AS g FROM grams) GROUP BY 1, 2)"
+        )
+    for k in top_ks:
+        ctes.append(
+            f"t{k} AS (SELECT doc_id, topchars, den FROM ("
+            f"SELECT doc_id, c * len(g) AS topchars, "
+            f"sum(c * len(g)) OVER (PARTITION BY doc_id) AS den, "
+            f"row_number() OVER (PARTITION BY doc_id "
+            f"ORDER BY c DESC, g ASC) AS rn FROM gc{k}) WHERE rn = 1)"
+        )
+        cols.append(
+            f"CASE WHEN coalesce(t{k}.den, 0) > 0 THEN "
+            f"round(t{k}.topchars::DOUBLE / t{k}.den, 6) ELSE 0.0 END "
+            f"AS top_{k}gram_frac"
+        )
+        joins.append(f"LEFT JOIN t{k} ON b.doc_id = t{k}.doc_id")
+    for k in dup_ks:
+        ctes.append(
+            f"d{k} AS (SELECT doc_id, sum(c * len(g)) AS den, "
+            f"sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dup "
+            f"FROM gc{k} GROUP BY 1)"
+        )
+        cols.append(
+            f"CASE WHEN coalesce(d{k}.den, 0) > 0 THEN "
+            f"round(d{k}.dup::DOUBLE / d{k}.den, 6) ELSE 0.0 END "
+            f"AS dup_{k}gram_frac"
+        )
+        joins.append(f"LEFT JOIN d{k} ON b.doc_id = d{k}.doc_id")
+    for tag, arr in (("l", "ls"), ("p", "ps")):
+        ctes.append(
+            f"{tag}c AS (SELECT doc_id, i, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest({arr}) AS i FROM base) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"{tag}d AS (SELECT doc_id, sum(c * len(i)) AS den, "
+            f"sum(CASE WHEN c >= 2 THEN c * len(i) ELSE 0 END) AS dup "
+            f"FROM {tag}c GROUP BY 1)"
+        )
+        joins.append(f"LEFT JOIN {tag}d ON b.doc_id = {tag}d.doc_id")
+
+    def dup_item(tag: str, name: str) -> str:
+        return (f"CASE WHEN coalesce({tag}d.den, 0) > 0 THEN "
+                f"round({tag}d.dup::DOUBLE / {tag}d.den, 6) ELSE 0.0 END "
+                f"AS {name}")
+
+    grams = ",\n         ".join(gram(k) for k in top_ks + dup_ks)
+    ctes_sql = ",\n".join(ctes)
+    cols_sql = ",\n       ".join(cols)
+    joins_sql = "\n".join(joins)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {{tok}} AS t,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls,
+         list_filter(list_transform(string_split(coalesce(text, ''),
+                                                 chr(10) || chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ps
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         {grams}
+  FROM base),
+{ctes_sql}
+SELECT b.doc_id,
+       CASE WHEN len(b.ls) > 0
+            THEN round(1.0 - len(list_distinct(b.ls))::DOUBLE / len(b.ls), 6)
+            ELSE 0.0 END AS dup_line_frac,
+       {dup_item("l", "dup_line_char_frac")},
+       CASE WHEN len(b.ps) > 0
+            THEN round(1.0 - len(list_distinct(b.ps))::DOUBLE / len(b.ps), 6)
+            ELSE 0.0 END AS dup_para_frac,
+       {dup_item("p", "dup_para_char_frac")},
+       {cols_sql}
+FROM base b
+{joins_sql}
+ORDER BY b.doc_id
+""".replace("{tok}", TOKENS_SQL)
+
+
+@_register("gopher_repetition_full_documents", oracle=_gopher_full_oracle())
+def q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher repetition battery (Rae et al. 2021 app.
+    A1.1, Table A1): duplicate line/paragraph fractions by item AND by
+    character coverage, top-{2,3,4}-gram character fractions,
+    duplicate-{5..10}-gram character fractions — the 13 metrics a
+    Gopher-style quality gate thresholds per document. Spark side is
+    ZERO-shuffle (one sorted-array fold per metric, each fold carrying
+    its own denominator); the oracle replays every metric via
+    unnest → GROUP BY — mechanism-independent hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats_full(docs).orderBy("doc_id")
+
+
 @_register(
     "c4_line_filter_documents",
     oracle="""
@@ -3576,6 +3686,7 @@ _DRIVER_PRIORITY = [
     "flagship_sessions_asof",
     "curation_quota_per_source_salted",
     "gopher_repetition_documents",
+    "gopher_repetition_full_documents",
     "c4_line_filter_documents",
     # round-4 additions absent from every CORRECTNESS_r* artifact
     "extract_spans_multikind",

@@ -367,3 +367,160 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             F.round(F.col("_dup5")["dup"] / F.col("_den5"), 6),
         ).otherwise(F.lit(0.0)).alias("dup_5gram_frac"),
     )
+
+
+def repetition_stats_full(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The COMPLETE Gopher repetition-filter family (Rae et al. 2021,
+    appendix A1.1, Table A1 — the full 13-metric battery, of which
+    ``repetition_stats`` computes the three representatives):
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of non-empty
+      trimmed lines / paragraphs that repeat an earlier one;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      line/paragraph characters inside items occurring more than once
+      (ALL occurrences charged once the item repeats);
+    - ``top_{2,3,4}gram_frac`` — fraction of n-gram-stream characters
+      covered by the most frequent word n-gram (ties break toward the
+      lexicographically smallest gram);
+    - ``dup_{5..10}gram_frac`` — fraction of n-gram-stream characters
+      inside n-grams occurring more than once.
+
+    Same scale contract as ``repetition_stats``: ZERO shuffle, no
+    explode/groupBy — per-row sorted-array run folds. Each of the 11
+    sorted arrays (lines, paragraphs, grams n=2..10) is materialized
+    exactly once in a staged projection, and each fold carries its
+    denominator in the accumulator struct so every array is traversed
+    exactly once. Paragraphs split on a literal blank line ("\\n\\n"),
+    trimmed, empties dropped — mirrored verbatim in the oracle.
+    """
+    t = X.tokens_col(text_col)
+    n = F.size(t)
+    empty = F.array().cast("array<string>")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _items(sep: str):
+        return F.filter(
+            F.transform(F.split(txt, sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
+    def _grams(k: int):
+        if k == 2:
+            return F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(empty)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(empty)
+
+    lines, paras = _items("\n"), _items("\n\n")
+
+    def _dup_item_frac(items):
+        cnt = F.size(items)
+        return F.when(
+            cnt > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(items)) / cnt, 6),
+        ).otherwise(F.lit(0.0))
+
+    # stage 1: every sorted array once; the cheap scalar fracs inline
+    staged = spread_to_parallelism(docs).select(
+        F.col(id_col),
+        _dup_item_frac(lines).alias("dup_line_frac"),
+        _dup_item_frac(paras).alias("dup_para_frac"),
+        F.array_sort(lines).alias("_ls"),
+        F.array_sort(paras).alias("_ps"),
+        *[F.array_sort(_grams(k)).alias(f"_g{k}s") for k in range(2, 11)],
+    )
+
+    zero = F.lit(0).cast("long")
+
+    # one traversal per sorted array: run-length fold that also
+    # accumulates the char denominator
+    def _dup_fold(col):
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            add = (
+                F.when(run == 2, F.length(x) * 2)
+                .when(run > 2, F.length(x))
+                .otherwise(F.lit(0))
+            ).cast("long")
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                (acc["dup"] + add).alias("dup"),
+                (acc["den"] + F.length(x)).alias("den"),
+            )
+
+        return F.aggregate(
+            col,
+            F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                     zero.alias("dup"), zero.alias("den")),
+            step,
+        )
+
+    def _top_fold(col):
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            better = run > acc["best"]
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+                (acc["den"] + F.length(x)).alias("den"),
+            )
+
+        return F.aggregate(
+            col,
+            F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                     zero.alias("best"), F.lit("").alias("bestg"),
+                     zero.alias("den")),
+            step,
+        )
+
+    # stage 2: one fold column per metric family
+    folded = staged.select(
+        F.col(id_col), F.col("dup_line_frac"), F.col("dup_para_frac"),
+        _dup_fold(F.col("_ls")).alias("_lf"),
+        _dup_fold(F.col("_ps")).alias("_pf"),
+        *[_top_fold(F.col(f"_g{k}s")).alias(f"_t{k}") for k in (2, 3, 4)],
+        *[_dup_fold(F.col(f"_g{k}s")).alias(f"_d{k}") for k in range(5, 11)],
+    )
+
+    def _dup_frac(name):
+        s = F.col(name)
+        return F.when(
+            s["den"] > 0, F.round(s["dup"] / s["den"], 6)
+        ).otherwise(F.lit(0.0))
+
+    def _top_frac(name):
+        s = F.col(name)
+        return F.when(
+            s["den"] > 0,
+            F.round(s["best"] * F.length(s["bestg"]) / s["den"], 6),
+        ).otherwise(F.lit(0.0))
+
+    # stage 3: cheap field arithmetic
+    return folded.select(
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        _dup_frac("_lf").alias("dup_line_char_frac"),
+        F.col("dup_para_frac"),
+        _dup_frac("_pf").alias("dup_para_char_frac"),
+        *[_top_frac(f"_t{k}").alias(f"top_{k}gram_frac") for k in (2, 3, 4)],
+        *[_dup_frac(f"_d{k}").alias(f"dup_{k}gram_frac")
+          for k in range(5, 11)],
+    )

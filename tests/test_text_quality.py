@@ -94,3 +94,58 @@ def test_c4_null_text(spark):
     assert (r["n_lines"], r["n_kept"], r["doc_ok"], r["clean_text"]) == (
         0, 0, True, ""
     )
+
+
+def _repfull(spark, text):
+    from ocr_engine_spark.operators.textstats import repetition_stats_full
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return repetition_stats_full(df).collect()[0].asDict()
+
+
+def test_repetition_full_paragraph_metrics(spark):
+    # paragraphs split on a literal blank line; "dup para" repeats
+    r = _repfull(spark, "dup para\n\nunique one\n\ndup para")
+    assert r["dup_para_frac"] == pytest.approx(0.333333)
+    # para chars: dup para(8)*2 + unique one(10) = 26; dup = 16
+    assert r["dup_para_char_frac"] == pytest.approx(round(16 / 26, 6))
+    # lines: "dup para", "unique one", "dup para" (blank dropped)
+    assert r["dup_line_frac"] == pytest.approx(0.333333)
+    assert r["dup_line_char_frac"] == pytest.approx(round(16 / 26, 6))
+
+
+def test_repetition_full_gram_family(spark):
+    # "a b a b a b a b a b" (10 tokens): for k=5..7 every k-gram
+    # repeats (fully duplicated stream); k=8 leaves one unique middle
+    # gram of 3 (2/3 of chars dup); k=9,10 have too few grams to repeat
+    r = _repfull(spark, "a b a b a b a b a b")
+    for k in (5, 6, 7):
+        assert r[f"dup_{k}gram_frac"] == pytest.approx(1.0), k
+    assert r["dup_8gram_frac"] == pytest.approx(0.666667)
+    assert r["dup_9gram_frac"] == 0.0
+    assert r["dup_10gram_frac"] == 0.0
+    # 2-grams: "a b" x5 + "b a" x4; top covers 15 of 27 chars
+    assert r["top_2gram_frac"] == pytest.approx(round(15 / 27, 6))
+    # agrees with the 3-representative operator on the shared metrics
+    from ocr_engine_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b a b")], "doc_id long, text string"
+    )
+    r3 = repetition_stats(df).collect()[0].asDict()
+    assert r["top_2gram_frac"] == r3["top_2gram_frac"]
+    assert r["dup_5gram_frac"] == r3["dup_5gram_frac"]
+    assert r["dup_line_frac"] == r3["dup_line_frac"]
+
+
+def test_repetition_full_short_and_null_docs(spark):
+    for text in (None, "", "one two three"):
+        r = _repfull(spark, text)
+        for k in range(5, 11):
+            if text == "one two three":
+                # fewer tokens than k -> empty stream -> 0.0
+                assert r[f"dup_{k}gram_frac"] == 0.0
+        if text in (None, ""):
+            assert all(
+                v == 0.0 for c, v in r.items() if c != "doc_id"
+            ), r
