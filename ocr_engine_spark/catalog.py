@@ -3450,6 +3450,51 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.c4_line_filter(docs).orderBy("doc_id")
 
 
+@_register(
+    "exact_substring_dedup_documents",
+    oracle="""
+WITH base AS (SELECT doc_id, {tok} AS t FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+           AS fp
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM base)),
+dupfp AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+d AS (SELECT w.doc_id, w.pos FROM w JOIN dupfp USING (fp)),
+cov AS (SELECT doc_id,
+               least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) - pos, 8))
+                 AS cvr
+        FROM d),
+agg AS (SELECT doc_id, count(*)::INT AS n_dup_windows, sum(cvr) AS covered
+        FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+       len(b.t)::INT AS n_tokens,
+       greatest(len(b.t) - 7, 0)::INT AS n_windows,
+       coalesce(a.n_dup_windows, 0)::INT AS n_dup_windows,
+       CASE WHEN len(b.t) > 0
+            THEN round(coalesce(a.covered, 0)::DOUBLE / len(b.t), 6)
+            ELSE 0.0 END AS dup_token_coverage
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+""".replace("{tok}", TOKENS_SQL),
+)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, windowed-fingerprint form (Lee et al.,
+    ACL 2022): corpus-wide duplicated 8-token windows mapped back to
+    per-document duplicated-token coverage — the span fraction their
+    method would cut from training data. The oracle replays the
+    fingerprint stream with DuckDB list slicing + the same md5-60bit
+    hash, so the coverage numbers are engine-bit-identical. Spark side
+    is the scale path: O(total tokens) exploded stream, fp-keyed
+    count + join-back (AQE absorbs hot fingerprints), one per-doc
+    lead() window for interval-union coverage."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_coverage(docs, k=8).orderBy("doc_id")
+
+
 # Deterministic PII augmentation shared by engine and oracle: the
 # corpus itself is PII-free (ASCII prose), so both sides append the
 # same synthetic email/phone/digit-run and the redaction must strip
@@ -3683,6 +3728,7 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds.
 _DRIVER_PRIORITY = [
     # round-5 additions (never recorded)
+    "exact_substring_dedup_documents",
     "flagship_sessions_asof",
     "curation_quota_per_source_salted",
     "gopher_repetition_documents",

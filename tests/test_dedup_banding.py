@@ -112,3 +112,76 @@ def test_top_terms_rational_idf_ranks_rare_terms(spark):
         # shared (tf=2, df=3) scores 2*(3-3+.5)/3.5 = 0.286
         assert got[0][1] == uniq and got[0][0] == 1
         assert got[1][1] == "shared" and got[1][2] == 2 and got[1][3] == 3
+
+
+# ---------------------------------------------------------------- exact
+# substring dedup (Lee et al. 2022, windowed-fingerprint form): coverage
+# values are hand-computable on a planted shared span.
+
+
+def test_exact_substring_coverage_planted_span(spark):
+    from ocr_engine_spark.operators.dedup import exact_substring_coverage
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, run),                      # 10 toks, all 3 windows shared
+            (2, "one two three " + run),   # 13 toks, windows 4..6 shared
+            (3, "short text only"),        # < k tokens: no windows
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_coverage(docs, k=8).collect()
+    }
+    # doc 1: dup starts {1,2,3} -> union covers 1+1+8 = 10 of 10 tokens
+    assert out[1]["n_windows"] == 3
+    assert out[1]["n_dup_windows"] == 3
+    assert out[1]["dup_token_coverage"] == 1.0
+    # doc 2: dup starts {4,5,6} -> 10 of 13 tokens
+    assert out[2]["n_windows"] == 6
+    assert out[2]["n_dup_windows"] == 3
+    assert out[2]["dup_token_coverage"] == round(10 / 13, 6)
+    # doc 3: too short for any window
+    assert out[3]["n_windows"] == 0
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["dup_token_coverage"] == 0.0
+    # doc 4: windows exist but none duplicated
+    assert out[4]["n_windows"] == 5
+    assert out[4]["n_dup_windows"] == 0
+    assert out[4]["dup_token_coverage"] == 0.0
+
+
+def test_exact_substring_disjoint_spans_do_not_bridge(spark):
+    """Two separated duplicated spans must each contribute their own
+    interval — the lead()-union must not over-count the gap."""
+    from ocr_engine_spark.operators.dedup import exact_substring_coverage
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"            # 8 toks -> 1 window
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"    # unique filler
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {gap} {s2}"),  # 26 toks
+            (2, s1),
+            (3, s2),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_coverage(docs, k=8).collect()
+    }
+    # doc 1: dup windows at starts 1 and 19 only -> 8 + 8 = 16 of 26
+    assert out[1]["n_dup_windows"] == 2
+    assert out[1]["dup_token_coverage"] == round(16 / 26, 6)
+
+
+def test_exact_substring_rejects_degenerate_k(spark):
+    from ocr_engine_spark.operators.dedup import exact_substring_coverage
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        exact_substring_coverage(docs, k=1)
