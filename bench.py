@@ -191,7 +191,7 @@ CACHE = os.path.join(REPO, ".bench", f"transcripts-v1-{N_CONVS}")
 # passes (BASELINE.md: skew 43-60 s; headline 51 s/round at 24
 # queries, ~65 s at the widened 30-query list; session+warm ~25 s).
 SKEW_COST_S = 75.0
-HEADLINE_ROUND_S = 85.0  # reserve estimate; the loop itself is self-measuring
+HEADLINE_ROUND_S = 105.0  # reserve estimate (r5 pass 8 measured ~105 s cold rounds); the loop itself is self-measuring
 HEADLINE_FIXED_S = 30.0
 # A runs=2 retry attempt costs ~this fraction of the measured runs=3
 # first attempt (fixed costs — warms, session starts, probes —
@@ -400,7 +400,8 @@ MAX_EXTRA_RUNS = 2
 
 
 def _time_extract(master: str, cores: int, rows: int, runs: int,
-                  max_extra: int = MAX_EXTRA_RUNS) -> dict:
+                  max_extra: int = MAX_EXTRA_RUNS,
+                  min_clean: int = MIN_CLEAN_RUNS) -> dict:
     """Steady-state timing of the full extraction job at one
     parallelism level: untimed warm runs of the FULL job (spawns
     workers, JITs the whole plan), then ``runs`` timed runs with forced
@@ -432,7 +433,7 @@ def _time_extract(master: str, cores: int, rows: int, runs: int,
         times: list = []  # (sec, steal_pct, hw_rows_per_sec)
         budget_runs = runs + max_extra
         while len(times) < runs or (
-            sum(1 for _, s, _h in times if s <= STEAL_CLEAN_PCT) < MIN_CLEAN_RUNS
+            sum(1 for _, s, _h in times if s <= STEAL_CLEAN_PCT) < min_clean
             and len(times) < budget_runs
         ):
             _double_gc(spark)
@@ -449,7 +450,7 @@ def _time_extract(master: str, cores: int, rows: int, runs: int,
     finally:
         spark.stop()
     clean = [t for t, s, _h in times if s <= STEAL_CLEAN_PCT]
-    contaminated = len(clean) < MIN_CLEAN_RUNS
+    contaminated = len(clean) < min_clean
     basis = clean if not contaminated else [t for t, _, _h in times]
     med = statistics.median(basis)
     return {
@@ -654,9 +655,14 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     headline_on = os.environ.get("BENCH_HEADLINE", "1") != "0"
     hw_pre = _hardware_ceiling(LO_CORES, HI_CORES)
     arm = 1 if headline_on else max(1, (runs + 1) // 2)
+    # Per-arm clean quota: the MIN_CLEAN_RUNS=2 requirement applies to
+    # the MERGED lo level (recomputed in _merge_levels), so a 1-run arm
+    # must not top itself up to 2 — that cost ~22 s/pass and left the
+    # arms 1-vs-2 asymmetric. Arm A runs its exact count; arm B tops up
+    # only what the merged level still needs given arm A's clean runs.
     lo_a = _subprocess_json(
         ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows),
-         str(arm), "0"]
+         str(arm), "0", str(min(MIN_CLEAN_RUNS, arm))]
     )
     hi = _subprocess_json(
         ["--time-level", f"local[{HI_CORES}]", str(HI_CORES), str(rows),
@@ -664,7 +670,8 @@ def _scaling_attempt(runs: int, rows: int, idx: int) -> dict:
     )
     lo_b = _subprocess_json(
         ["--time-level", f"local[{LO_CORES}]", str(LO_CORES), str(rows),
-         str(arm), str(extra_allowance())]
+         str(arm), str(extra_allowance()),
+         str(max(1, MIN_CLEAN_RUNS - lo_a["clean_runs"]))]
     )
     lo = _merge_levels(lo_a, lo_b, rows)
     hw_post = _hardware_ceiling(LO_CORES, HI_CORES)
@@ -868,6 +875,28 @@ def _detail_path() -> str:
     return os.path.join(REPO, f"BENCH_DETAIL_r{n:02d}.json")
 
 
+def _coverage_cost_hints() -> dict:
+    """Last-known coverage-tier cost per query, merged across every
+    committed BENCH_DETAIL_r*.json (later rounds win). Queries absent
+    from every artifact get no hint and sort FIRST in the coverage
+    order — a never-timed query must not be starved by the truncation
+    guard."""
+    import glob as _glob
+
+    hints: dict = {}
+    for p in sorted(_glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        secs = (d.get("coverage_timings") or {}).get("secs") or {}
+        for k, v in secs.items():
+            if v is not None:
+                hints[k] = v
+    return hints
+
+
 def _load_prev_queries() -> tuple:
     """Per-query timings from the latest round with ANY parseable
     evidence, for the regression flags: the driver's BENCH_r{N}.json
@@ -928,7 +957,10 @@ def main() -> int:
             sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5])
         )
         extra = int(sys.argv[6]) if len(sys.argv) > 6 else MAX_EXTRA_RUNS
-        print(json.dumps(_time_extract(master, cores, rows, runs, extra)))
+        min_clean = int(sys.argv[7]) if len(sys.argv) > 7 else MIN_CLEAN_RUNS
+        print(json.dumps(
+            _time_extract(master, cores, rows, runs, extra, min_clean)
+        ))
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         print(json.dumps(_skew_evidence(int(sys.argv[2]))))
@@ -1107,6 +1139,63 @@ def main() -> int:
         qs = queries()
         # Warmup: spawn python workers + JIT/codegen once, untimed.
         _noop(qs["flagship_extract"](spark, SF_DIR))
+
+        # ---- part 4 (runs FIRST): coverage tier (VERDICT r4 item 4) --
+        # One timed run at sf0.01 for every catalog query with no
+        # headline history (streaming ones included — they are
+        # availableNow-bounded), so a regression in them is visible at
+        # all. Runs BEFORE the headline rounds since round 5: the
+        # A-B-A scaling schedule costs one extra JVM, and with
+        # coverage last that squeeze landed entirely on coverage (a
+        # live pass recorded 4 of 43 queries). The headline's
+        # guaranteed 2 rounds are protected by reserving their
+        # projected cost in the coverage guard; the headline's own
+        # 3rd-round budget gate absorbs the rest. Evidence lives in
+        # the DETAIL file only; guarded per query so an overrun
+        # degrades to a shorter list, never a killed (artifact-less)
+        # bench.
+        if os.environ.get("BENCH_COVERAGE", "1") != "0" and os.path.isdir(
+            COVERAGE_SF_DIR
+        ):
+            cov: dict = {}
+            cov_skipped: list = []
+            cov_wall = KILL_GUARD_S - 25 - headline_reserve(2)
+            # Cost-ordered: never-timed queries first (they are the
+            # rotation's whole point), then cheapest-first from prior
+            # BENCH_DETAIL evidence — truncation sheds the
+            # known-expensive tail instead of an arbitrary suffix of
+            # the catalog dict.
+            hints = _coverage_cost_hints()
+            ordered = sorted(
+                (n for n in qs if n not in HEADLINE),
+                key=lambda n: hints.get(n, -1.0),
+            )
+            for name in ordered:
+                if _elapsed() > cov_wall:
+                    cov_skipped = [
+                        n for n in qs if n not in HEADLINE and n not in cov
+                    ]
+                    warnings.append(
+                        f"coverage tier truncated at {len(cov)} queries: "
+                        "headline reserve"
+                    )
+                    break
+                t0 = time.time()
+                try:
+                    _noop(qs[name](spark, COVERAGE_SF_DIR))
+                    cov[name] = round(time.time() - t0, 3)
+                except Exception as e:
+                    cov[name] = None
+                    warnings.append(f"coverage {name} failed: {e}"[:120])
+            detail["coverage_timings"] = {
+                "sf_dir": COVERAGE_SF_DIR,
+                "runs": 1,
+                "order": "never-timed first, then cheapest-first "
+                         "(prior BENCH_DETAIL cost hints)",
+                "secs": cov,
+                "skipped": cov_skipped,
+            }
+
         # Interleaved rounds: a steal window hits one ROUND of every
         # query instead of every run of a few queries, so per-query
         # medians stay comparable round-over-round. ALWAYS >=2 rounds
@@ -1138,43 +1227,6 @@ def main() -> int:
                 runs_by_query[name].append(round(time.time() - t0, 3))
             round_secs.append(time.time() - t_r)
 
-        # ---- part 4: coverage tier (VERDICT r4 item 4) ----------------
-        # One timed run at sf0.01 for every catalog query with no
-        # headline history (streaming ones included — they are
-        # availableNow-bounded), so a regression in them is visible at
-        # all. Evidence lives in the DETAIL file only; kill-guarded per
-        # query so an overrun degrades to a shorter list, never a
-        # killed (artifact-less) bench.
-        if os.environ.get("BENCH_COVERAGE", "1") != "0" and os.path.isdir(
-            COVERAGE_SF_DIR
-        ):
-            cov: dict = {}
-            cov_skipped: list = []
-            for name in qs:
-                if name in HEADLINE:
-                    continue
-                if _elapsed() > KILL_GUARD_S - 25:
-                    cov_skipped = [
-                        n for n in qs if n not in HEADLINE and n not in cov
-                    ]
-                    warnings.append(
-                        f"coverage tier truncated at {len(cov)} queries: "
-                        "driver-kill guard"
-                    )
-                    break
-                t0 = time.time()
-                try:
-                    _noop(qs[name](spark, COVERAGE_SF_DIR))
-                    cov[name] = round(time.time() - t0, 3)
-                except Exception as e:
-                    cov[name] = None
-                    warnings.append(f"coverage {name} failed: {e}"[:120])
-            detail["coverage_timings"] = {
-                "sf_dir": COVERAGE_SF_DIR,
-                "runs": 1,
-                "secs": cov,
-                "skipped": cov_skipped,
-            }
     finally:
         spark.stop()
 

@@ -435,3 +435,19 @@ def test_spread_gate_forgives_probe_tracked_drift():
     contaminated = norm_spread([24.0, 24.0, 36.0, 36.0],
                                [100, 100, 100, 100])
     assert contaminated > bench.MAX_RUN_SPREAD
+
+
+def test_coverage_cost_hints_merge_and_unknown_first(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_DETAIL_r04.json").write_text(json.dumps(
+        {"coverage_timings": {"secs": {"a": 5.0, "b": 1.0, "dead": None}}}
+    ))
+    (tmp_path / "BENCH_DETAIL_r05.json").write_text(json.dumps(
+        {"coverage_timings": {"secs": {"a": 2.0}}}  # later round wins
+    ))
+    hints = bench._coverage_cost_hints()
+    assert hints == {"a": 2.0, "b": 1.0}
+    # ordering rule used by the coverage tier: unknown first, then cheap
+    names = ["a", "b", "new_query"]
+    ordered = sorted(names, key=lambda n: hints.get(n, -1.0))
+    assert ordered == ["new_query", "b", "a"]
