@@ -3451,6 +3451,69 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gopher_quality_documents",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {tok} AS toks,
+         list_filter(list_transform(string_split(coalesce(text, ''),
+                                                 chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks)::INT AS n_words,
+         round(coalesce(list_aggregate(list_transform(toks,
+                                                      x -> len(x)),
+                                       'sum'), 0)::DOUBLE
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round((len(t) - len(replace(t, '#', '')))::DOUBLE
+               / greatest(len(toks), 1), 6) AS hash_word_ratio,
+         round((len(t) - len(replace(t, '...', '')))::DOUBLE / 3
+               / greatest(len(toks), 1), 6) AS ellipsis_word_ratio,
+         round(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
+               ::DOUBLE / greatest(len(ls), 1), 6) AS bullet_line_frac,
+         round(len(list_filter(ls, x -> regexp_matches(x, '\\.{3}$')))
+               ::DOUBLE / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               ::DOUBLE / greatest(len(toks), 1), 6) AS alpha_word_frac,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with']))::INT
+           AS stop_hits
+  FROM base)
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+       ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+       alpha_word_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher,
+       (n_words >= 25 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS passes_adapted
+FROM sig ORDER BY doc_id
+""".replace("{tok}", TOKENS_SQL),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-signal battery (Rae et al. 2021 app. A1.1,
+    Table A1) beside the repetition family: word-count bounds, mean
+    word length, '#'/'...' symbol-to-word ratios, bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, required-
+    stopword hits, and the combined pass flag at the PUBLISHED
+    thresholds plus a corpus-adapted variant (≥25 words, ≥1 required
+    stopword — the synthetic corpus is not English prose, so the
+    published flag is near-constant false; the adapted one varies, so
+    the hash exercises the conjunction in both directions).
+    Zero-shuffle scan-side HOF projection; the oracle replays every
+    signal with DuckDB list functions so each metric AND both boolean
+    gates are hash-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.gopher_quality_signals(docs).orderBy("doc_id")
+
+
+@_register(
     "exact_substring_dedup_documents",
     oracle="""
 WITH base AS (SELECT doc_id, {tok} AS t FROM documents),
@@ -3728,6 +3791,7 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds.
 _DRIVER_PRIORITY = [
     # round-5 additions (never recorded)
+    "gopher_quality_documents",
     "exact_substring_dedup_documents",
     "flagship_sessions_asof",
     "curation_quota_per_source_salted",

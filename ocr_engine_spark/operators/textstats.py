@@ -524,3 +524,104 @@ def repetition_stats_full(docs: DataFrame, id_col: str = "doc_id",
         *[_dup_frac(f"_d{k}").alias(f"dup_{k}gram_frac")
           for k in range(5, 11)],
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and",
+                             "that", "have", "with")
+
+
+def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", min_words: int = 50,
+                           max_words: int = 100_000) -> DataFrame:
+    """The Gopher quality-signal battery (Rae et al. 2021 app. A1.1,
+    Table A1 — the filters BESIDE the repetition family): word-count
+    bounds, mean word length in [3, 10], '#' and '...' symbol-to-word
+    ratios ≤ 0.1, ≤90% bullet-started lines, ≤30% ellipsis-ended
+    lines, ≥80% words containing an alphabetic character, and ≥2 hits
+    from the 8 required stopwords — plus the combined pass flag a
+    Gopher-style gate would threshold on.
+
+    Pure scan-side projection: token/line arrays are materialized once
+    per row and every signal is an HOF fold or regex count over them —
+    no shuffle, no UDF; at 100 TB this widens the scan and nothing
+    else. The DuckDB oracle replays each signal with list functions,
+    so the numbers (and the boolean) are engine-bit-identical."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    out = (
+        spread_to_parallelism(docs)
+        .select(
+            F.col(id_col),
+            c.alias("_t"),
+            X.tokens_col(text_col).alias("_toks"),
+            F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            ).alias("_ls"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.col("_ls"),
+            F.col("_toks"),
+            F.size("_toks").alias("n_words"),
+        )
+    )
+    n = F.col("n_words")
+    n1 = F.greatest(n, F.lit(1))
+    nl1 = F.greatest(F.size("_ls"), F.lit(1))
+    wordlen_sum = F.aggregate(
+        "_toks", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    hash_cnt = F.length("_t") - F.length(F.regexp_replace("_t", "#", ""))
+    ellipsis_cnt = (
+        F.length("_t") - F.length(F.regexp_replace("_t", "\\.\\.\\.", ""))
+    ) / F.lit(3)
+    bullet_lines = F.size(F.filter("_ls", lambda x: x.rlike("^[-*•]")))
+    ellipsis_lines = F.size(F.filter("_ls", lambda x: x.rlike("\\.{3}$")))
+    alpha_words = F.size(F.filter("_toks", lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("_toks"),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    sig = out.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        F.round(wordlen_sum.cast("double") / n1, 6).alias("mean_word_len"),
+        F.round(hash_cnt.cast("double") / n1, 6).alias("hash_word_ratio"),
+        F.round(ellipsis_cnt.cast("double") / n1, 6).alias(
+            "ellipsis_word_ratio"
+        ),
+        F.round(bullet_lines.cast("double") / nl1, 6).alias(
+            "bullet_line_frac"
+        ),
+        F.round(ellipsis_lines.cast("double") / nl1, 6).alias(
+            "ellipsis_line_frac"
+        ),
+        F.round(alpha_words.cast("double") / n1, 6).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    def gate(min_w: int, min_stops: int):
+        return (
+            (F.col("n_words") >= min_w)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("hash_word_ratio") <= 0.1)
+            & (F.col("ellipsis_word_ratio") <= 0.1)
+            & (F.col("bullet_line_frac") <= 0.9)
+            & (F.col("ellipsis_line_frac") <= 0.3)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("stop_hits") >= min_stops)
+        )
+
+    # passes_gopher uses the PUBLISHED thresholds (≥50 words, ≥2 of
+    # the 8 required stopwords) and is near-constant FALSE on the
+    # synthetic corpus (it is not English prose); passes_adapted
+    # relaxes only the corpus-shaped knobs (≥25 words, ≥1 stopword)
+    # so the conjunction logic is exercised in BOTH directions by the
+    # oracle hash — the signal columns pin the arithmetic either way.
+    return sig.withColumn("passes_gopher", gate(min_words, 2)).withColumn(
+        "passes_adapted", gate(min(25, min_words), 1)
+    )

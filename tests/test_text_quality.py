@@ -149,3 +149,55 @@ def test_repetition_full_short_and_null_docs(spark):
             assert all(
                 v == 0.0 for c, v in r.items() if c != "doc_id"
             ), r
+
+
+# ----------------------------------------------- Gopher quality signals
+
+
+def test_gopher_quality_signals_battery(spark):
+    from ocr_engine_spark.operators.textstats import gopher_quality_signals
+
+    english = ("the quick brown fox jumps over the lazy dog and then "
+               "decides that it would be wise to have another go with "
+               "renewed vigor because practice makes perfect every day "
+               "in all weather under sun or rain with friends or alone "
+               "the journey continues onward through fields of golden "
+               "wheat and rivers of the clearest water imaginable")
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, english),                      # passes published gate
+            (2, bullets),                      # 100% bullet lines
+            (3, "to be # # # # # # or not"),   # hash ratio 6/8 > 0.1
+            (4, "tiny doc"),                   # below both word floors
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_signals(docs).collect()}
+    assert out[1]["n_words"] >= 50
+    assert out[1]["stop_hits"] >= 2
+    assert out[1]["passes_gopher"] is True
+    assert out[1]["passes_adapted"] is True
+    assert out[2]["bullet_line_frac"] == 1.0
+    assert out[2]["passes_adapted"] is False
+    assert out[3]["hash_word_ratio"] > 0.1
+    assert out[3]["passes_adapted"] is False
+    assert out[4]["passes_gopher"] is False
+    assert out[4]["passes_adapted"] is False
+
+
+def test_gopher_quality_ellipsis_and_alpha(spark):
+    from ocr_engine_spark.operators.textstats import gopher_quality_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first line goes on...\nsecond line also trails...\n"
+                "third is plain\nfourth is plain too"),
+            (2, "1 2 3 4 5 6 7 8 9 10"),  # zero alphabetic words
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_signals(docs).collect()}
+    assert out[1]["ellipsis_line_frac"] == 0.5
+    assert out[2]["alpha_word_frac"] == 0.0
+    assert out[2]["passes_adapted"] is False
