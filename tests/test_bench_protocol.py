@@ -451,3 +451,44 @@ def test_coverage_cost_hints_merge_and_unknown_first(tmp_path, monkeypatch):
     names = ["a", "b", "new_query"]
     ordered = sorted(names, key=lambda n: hints.get(n, -1.0))
     assert ordered == ["new_query", "b", "a"]
+
+
+def test_scaling_attempt_aba_plumbing(monkeypatch):
+    """The A-B-A attempt must: call lo/hi/lo with the right runs and
+    min-clean args, merge the lo arms, and stamp the schedule."""
+    calls = []
+
+    def fake_subprocess(args):
+        calls.append(args)
+        cores = int(args[2])
+        if cores == bench.LO_CORES:
+            n = int(args[4])
+            return _arm([20.0] * n, [0.0] * n, [100.0] * n, cores)
+        return _arm([5.5, 5.5, 5.5], [0.0] * 3, [400.0] * 3, cores)
+
+    monkeypatch.setattr(bench, "_subprocess_json", fake_subprocess)
+    monkeypatch.setattr(
+        bench, "_hardware_ceiling",
+        lambda lo, hi: {"efficiency": 0.95, "lo_rows_per_sec": 100,
+                        "hi_rows_per_sec": 380},
+    )
+    monkeypatch.setattr(bench, "_elapsed", lambda: 0.0)
+    monkeypatch.setenv("BENCH_HEADLINE", "0")  # scaling-only: arm=2
+    att = bench._scaling_attempt(runs=3, rows=1000, idx=1)
+    lo_calls = [c for c in calls if int(c[2]) == bench.LO_CORES]
+    assert [int(c[4]) for c in lo_calls] == [2, 2]   # mirror arms
+    assert int(lo_calls[0][6]) == 2  # arm A clean quota = min(2, arm)
+    assert int(lo_calls[1][6]) == 1  # arm B tops up what A left: 2-2
+    lo = att[f"local{bench.LO_CORES}"]
+    assert len(lo["all_runs_sec"]) == 4  # merged 2+2
+    assert "A-B-A" in att["schedule"]
+    assert att["window_valid"] is True
+    # eff = (1000/5.5) / (1000/20) / 4
+    assert abs(att["efficiency"] - (20.0 / 5.5) / 4) < 0.01
+
+    monkeypatch.setenv("BENCH_HEADLINE", "1")  # full bench: arm=1
+    calls.clear()
+    bench._scaling_attempt(runs=3, rows=1000, idx=1)
+    lo_calls = [c for c in calls if int(c[2]) == bench.LO_CORES]
+    assert [int(c[4]) for c in lo_calls] == [1, 1]
+    assert int(lo_calls[0][6]) == 1
